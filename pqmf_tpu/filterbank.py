@@ -1,0 +1,157 @@
+"""L1 — the PQMF module: offline analysis/synthesis over a QMF bank.
+
+TPU-native rebuild of the reference ``PQMF`` nn.Module (pqmf.py:202-288).
+Differences by design:
+
+- Functional: filters live in a params pytree; ``forward``/``inverse`` are
+  pure jitted functions. No mutable module state.
+- Batch and channel axes are handled by ``vmap``/reshape instead of the
+  reference's Python recursion over batch items (pqmf.py:248-249), which
+  also fixes the reference's broken 2-D multichannel inverse
+  (pqmf.py:277-278, SURVEY.md §2.5-1).
+- Shapes are static under jit; one compilation per (shape, config).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pqmf_tpu.ops import filterbank as fb
+
+__all__ = ["PQMF"]
+
+
+@partial(jax.jit, static_argnames=("polyphase", "precision", "use_pallas"))
+def _analysis(x, hk, hk_poly, polyphase=True, precision="highest",
+              use_pallas=False):
+    """x: [B, 1, T] -> [B, M, T/M] (conv then alias sign mask)."""
+    if use_pallas:
+        from pqmf_tpu.kernels import pallas_filterbank as pk
+
+        return pk.analysis(x, hk_poly)
+    if polyphase:
+        y = fb.polyphase_forward(x, hk_poly, precision=precision)
+    else:
+        y = fb.classic_forward(x, hk, precision=precision)
+    return fb.reverse_half(y)
+
+
+@partial(jax.jit, static_argnames=("polyphase", "precision", "use_pallas"))
+def _synthesis(x, hk, hk_ipoly, polyphase=True, precision="highest",
+               use_pallas=False):
+    """x: [B, M, T'] -> [B, 1, M*T'] (alias sign mask then conv)."""
+    if use_pallas:
+        from pqmf_tpu.kernels import pallas_filterbank as pk
+
+        return pk.synthesis(x, hk_ipoly)
+    x = fb.reverse_half(x)
+    if polyphase:
+        return fb.polyphase_inverse(x, hk_ipoly, precision=precision)
+    return fb.classic_inverse(x, hk, precision=precision)
+
+
+class PQMF:
+    """Pseudo-QMF analysis/synthesis filterbank.
+
+    Parameters
+    ----------
+    attenuation : float
+        Stopband attenuation in dB (80-120).
+    n_band : int
+        Number of sub-bands; must be a power of two when ``polyphase``.
+    polyphase : bool
+        Use the fast polyphase path (default) or the classic full-rate one.
+    n_channels : int
+        Channels per signal; channels are vmapped over the mono core.
+    precision : str
+        'highest' (default, float32-accurate MXU passes) or 'default'
+        (bf16 MXU, faster, ~60 dB round-trip SNR).
+    use_pallas : bool
+        Route the polyphase hot path through the fused Pallas TPU kernel.
+    """
+
+    def __init__(self, attenuation: float, n_band: int, polyphase: bool = True,
+                 n_channels: int = 1, precision: str = "highest",
+                 use_pallas: bool = False):
+        if polyphase:
+            power = math.log2(n_band)
+            assert power == math.floor(power), (
+                "n_band must be a power of 2 for the polyphase algorithm"
+            )
+        self.n_band = n_band
+        self.attenuation = attenuation
+        self.polyphase = polyphase
+        self.n_channels = n_channels
+        self.precision = precision
+        self.use_pallas = use_pallas
+        self.params = fb.build_filterbank(attenuation, n_band)
+        # convenient aliases mirroring the reference's buffers
+        self.h = self.params["h"]
+        self.hk = self.params["hk"]
+
+    # -- shape normalization ------------------------------------------------
+
+    def _to_bct(self, x, channels):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None, None, :]
+        elif x.ndim == 2:
+            # [C, T] -> [1, C, T]
+            x = x[None]
+        if x.ndim != 3:
+            raise ValueError(f"expected rank <= 3 input, got shape {x.shape}")
+        return x
+
+    # -- public API ----------------------------------------------------------
+
+    def forward(self, x):
+        """Decompose into sub-bands.
+
+        [B, C, T] -> [B, C*M, T/M] (also accepts [C, T] or [T]).
+        """
+        x = self._to_bct(x, self.n_channels)
+        if self.n_band == 1:
+            return x
+        B, C, T = x.shape
+        if T % self.n_band:
+            raise ValueError(
+                f"T={T} must be divisible by n_band={self.n_band}"
+            )
+        # channels fold into batch for the mono conv core
+        xc = x.reshape(B * C, 1, T)
+        y = _analysis(
+            xc, self.params["hk"], self.params["hk_poly"],
+            polyphase=self.polyphase, precision=self.precision,
+            use_pallas=self.use_pallas,
+        )
+        return y.reshape(B, C * self.n_band, T // self.n_band)
+
+    def inverse(self, x):
+        """Reconstruct from sub-bands.
+
+        [B, C*M, T'] -> [B, C, T'*M] (also accepts [C*M, T']).
+        """
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        if self.n_band == 1:
+            return x
+        B, CM, Tp = x.shape
+        if CM % self.n_band:
+            raise ValueError(
+                f"channel dim {CM} not a multiple of n_band={self.n_band}"
+            )
+        C = CM // self.n_band
+        xc = x.reshape(B * C, self.n_band, Tp)
+        y = _synthesis(
+            xc, self.params["hk"], self.params["hk_ipoly"],
+            polyphase=self.polyphase, precision=self.precision,
+            use_pallas=self.use_pallas,
+        )
+        return y.reshape(B, C, Tp * self.n_band)
+
+    __call__ = forward

@@ -1,0 +1,226 @@
+"""L1 — functional PQMF analysis/synthesis ops (pure JAX, jit-safe).
+
+TPU-native rebuild of the reference's filterbank math (pqmf.py:13-199):
+cosine-modulated bank construction (host-side NumPy), alias-cancellation
+sign masking, and polyphase + classic analysis/synthesis as pure functions
+over ``(x, filters)``.
+
+Design notes (TPU-first):
+- All functions are shape-static and trace once under ``jax.jit``.
+- The polyphase "(t m)" de-interleave is a free ``reshape`` on TPU (the
+  phase index is the fastest-varying axis of contiguous time).
+- Convolutions run through ``lax.conv_general_dilated`` in float32 with
+  HIGHEST precision by default (the MXU's 6-pass bf16 mode), which keeps
+  round-trip SNR >110 dB; a Pallas fused kernel covers the hot path in
+  ``pqmf_tpu.kernels``.
+- The reference's exact edge semantics (``[..., :-1]`` trims, the ``2M``
+  delay trim, asymmetric center padding) are reproduced precisely — they
+  define its bit-level output (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqmf_tpu import design
+
+__all__ = [
+    "reverse_half",
+    "center_pad_next_pow_2",
+    "make_odd",
+    "get_qmf_bank",
+    "build_filterbank",
+    "polyphase_forward",
+    "polyphase_inverse",
+    "classic_forward",
+    "classic_inverse",
+]
+
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _precision(p):
+    return _PRECISION[p] if isinstance(p, str) else p
+
+
+# ---------------------------------------------------------------------------
+# Host-side bank construction (NumPy; runs once at module build time)
+# ---------------------------------------------------------------------------
+
+
+def get_qmf_bank(h: np.ndarray, n_band: int) -> np.ndarray:
+    """Cosine-modulate prototype ``h`` into ``n_band`` filters
+    (reference: pqmf.py:44-63):
+    ``hk[k, t] = 2 h[t] cos((2k+1) pi/(2M) t' + (-1)^k pi/4)`` with
+    ``t' in [-N//2, N//2]``.
+    """
+    h = np.asarray(h, dtype=np.float32)
+    k = np.arange(n_band).reshape(-1, 1)
+    N = h.shape[-1]
+    t = np.arange(-(N // 2), N // 2 + 1)
+    p = (-1.0) ** k * math.pi / 4
+    mod = np.cos((2 * k + 1) * math.pi / (2 * n_band) * t + p)
+    return (2 * h * mod).astype(np.float32)
+
+
+def center_pad_next_pow_2(x: np.ndarray) -> np.ndarray:
+    """Center-pad the last dim to the next power of two; if the pad is odd
+    the extra sample goes on the right (reference: pqmf.py:26-32)."""
+    next_2 = 2 ** math.ceil(math.log2(x.shape[-1]))
+    pad = next_2 - x.shape[-1]
+    widths = [(0, 0)] * (x.ndim - 1) + [(pad // 2, pad // 2 + pad % 2)]
+    return np.pad(x, widths)
+
+
+def make_odd(x: np.ndarray) -> np.ndarray:
+    """Right-pad the last dim by one zero if its length is even
+    (reference: pqmf.py:35-41)."""
+    if x.shape[-1] % 2 == 0:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
+        x = np.pad(x, widths)
+    return x
+
+
+def build_filterbank(attenuation: float, n_band: int) -> dict:
+    """Run the full design chain (reference: pqmf.py:216-231) and return all
+    derived filter tensors as a params pytree:
+
+    - ``h``        [N]            prototype
+    - ``hk``       [M, P]         modulated bank, center-padded to pow2 P
+    - ``hk_poly``  [M, M, P/M]    analysis polyphase matrix
+                                  (rearrange "c (t m) -> c m t")
+    - ``hk_ipoly`` [M, M, P/M]    synthesis polyphase matrix
+                                  (time-flipped, rearrange "c (t m) -> m c t")
+    """
+    h = design.get_prototype(attenuation, n_band)
+    h = h.astype(np.float32)
+    hk = center_pad_next_pow_2(get_qmf_bank(h, n_band))
+    M, P = hk.shape
+    assert P % M == 0
+
+    # analysis: hk_poly[c, m, t] = hk[c, t*M + m]
+    hk_poly = hk.reshape(M, P // M, M).transpose(0, 2, 1)
+
+    # synthesis: flip time then hki[m, c, t] = hk_flip[c, t*M + m]
+    hk_flip = hk[:, ::-1]
+    hk_ipoly = hk_flip.reshape(M, P // M, M).transpose(2, 0, 1)
+
+    return {
+        "h": jnp.asarray(h),
+        "hk": jnp.asarray(hk),
+        "hk_poly": jnp.asarray(hk_poly),
+        "hk_ipoly": jnp.asarray(hk_ipoly.copy()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pure JAX ops (jit-safe, shape-static)
+# ---------------------------------------------------------------------------
+
+
+def reverse_half(x: jax.Array) -> jax.Array:
+    """Alias-cancellation sign mask (reference: pqmf.py:13-22): negate even
+    time samples of odd sub-bands (``mask[..., 1::2, ::2] = -1``)."""
+    M, T = x.shape[-2], x.shape[-1]
+    band = jax.lax.broadcasted_iota(jnp.int32, (M, T), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
+    mask = jnp.where((band % 2 == 1) & (t % 2 == 0), -1.0, 1.0).astype(x.dtype)
+    return x * mask
+
+
+def _conv1d(x, w, stride=1, padding=(0, 0), lhs_dilation=1, precision="highest"):
+    """torch.nn.functional.conv1d equivalent (cross-correlation).
+
+    x: [B, Cin, T], w: [Cout, Cin, L].
+    """
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[padding],
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_precision(precision),
+    )
+
+
+def polyphase_forward(x: jax.Array, hk_poly: jax.Array, precision="highest"):
+    """Fast polyphase analysis (reference: pqmf.py:115-130).
+
+    x: [B, 1, T] with T divisible by M; hk_poly: [M, M, L].
+    Returns [B, M, T/M].
+    """
+    B, C, T = x.shape
+    M = hk_poly.shape[0]
+    L = hk_poly.shape[-1]
+    # "b c (t m) -> b (c m) t": phase index m is the fast axis of time
+    xp = x.reshape(B, C, T // M, M)
+    xp = jnp.swapaxes(xp, -1, -2).reshape(B, C * M, T // M)
+    y = _conv1d(xp, hk_poly, padding=(L // 2, L // 2), precision=precision)
+    return y[..., :-1]
+
+
+def polyphase_inverse(x: jax.Array, hk_ipoly: jax.Array, precision="highest"):
+    """Fast polyphase synthesis (reference: pqmf.py:133-157).
+
+    x: [B, M, T'] sub-bands; hk_ipoly: [M, M, L].
+    Returns [B, 1, M*T'].
+    """
+    M = hk_ipoly.shape[0]
+    L = hk_ipoly.shape[-1]
+    pad = L // 2 + 1
+    y = _conv1d(x, hk_ipoly, padding=(pad, pad), precision=precision)
+    y = y[..., :-1] * M  # [B, M, T'+2]
+    y = jnp.flip(y, axis=1)  # band-order reversal
+    # drop the first 2 polyphase rows == the reference's
+    # ``x[..., 2*M:]`` trim after interleave (pqmf.py:156)
+    y = y[..., 2:]
+    B, _, Tp = y.shape
+    # "b (c m) t -> b c (t m)": interleave phases back into time
+    y = jnp.swapaxes(y, 1, 2).reshape(B, 1, Tp * M)
+    return y
+
+
+def classic_forward(x: jax.Array, hk: jax.Array, precision="highest"):
+    """Slow full-rate analysis (reference: pqmf.py:160-177).
+
+    x: [B, 1, T]; hk: [M, P]. Returns [B, M, T/M].
+    """
+    M, P = hk.shape
+    y = _conv1d(
+        x, hk[:, None, :], stride=M, padding=(P // 2, P // 2),
+        precision=precision,
+    )
+    return y[..., :-1]
+
+
+def classic_inverse(x: jax.Array, hk: jax.Array, precision="highest"):
+    """Slow synthesis via zero-stuffing (reference: pqmf.py:180-199).
+
+    The reference zero-stuffs each band to full rate (``y[..., ::M] = x*M``)
+    then convolves with the time-flipped bank summed over bands. On TPU we
+    express the zero-stuffing as ``lhs_dilation=M`` (a transposed conv),
+    with padding chosen so the output matches the reference's
+    ``conv1d(pad=P//2)[..., 1:]`` sample-for-sample.
+
+    x: [B, M, T']; hk: [M, P]. Returns [B, 1, M*T'].
+    """
+    M, P = hk.shape
+    w = jnp.flip(hk, axis=-1)[None, :, :]  # [1, M, P]
+    # reference output index n (after dropping the first sample) reads
+    # zero-stuffed y at positions n+1-P//2+l; the dilated input has length
+    # M*(T'-1)+1 (missing the reference's M-1 trailing zeros), hence the
+    # extra right padding.
+    pl = P // 2 - 1
+    pr = P // 2 + (M - 1)
+    y = _conv1d(x * M, w, padding=(pl, pr), lhs_dilation=M, precision=precision)
+    return y

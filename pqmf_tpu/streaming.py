@@ -1,0 +1,262 @@
+"""L2 — streaming/real-time layer: explicit-state cached convolutions.
+
+TPU-native rebuild of the reference's ``CachedPQMF`` (pqmf.py:306-354) and
+the external ``cached_conv`` package it depends on (pqmf.py:3, 316-337).
+
+The reference's streaming story is a Conv1d whose centered padding is
+replaced, in cached mode, by a carried buffer of past input samples so that
+block-wise calls reproduce the offline (causally padded) output exactly.
+Here that is a *pure function over explicit state*:
+
+    state', y = streaming_conv(state, x, w, stride)
+
+with the state pytree owned by the caller — jit-safe, vmap-safe,
+``lax.scan``-able over blocks, and free of the reference's
+shared-mutable-buffer hazard (SURVEY.md §5 "race detection").
+
+Key property (tested in tests/test_streaming.py): concatenating the outputs
+of block-wise calls equals the offline causal conv of the concatenated
+input, for ANY block partition whose block sizes are multiples of the
+stride. Latency bookkeeping mirrors ``cached_conv``'s ``cumulative_delay``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqmf_tpu.ops import filterbank as fb
+
+__all__ = [
+    "centered_padding",
+    "streaming_conv",
+    "conv_state_init",
+    "StreamingPQMF",
+    "scan_blocks",
+]
+
+
+def centered_padding(kernel: int, stride: int = 1) -> tuple[int, int]:
+    """Centered split of the ``kernel - stride`` total padding, matching
+    ``cached_conv.get_padding`` in "centered" mode."""
+    total = kernel - stride
+    return total // 2, total - total // 2
+
+
+def conv_state_init(batch: int, in_ch: int, kernel: int, stride: int,
+                    dtype=jnp.float32) -> jax.Array:
+    """Zero cache of the ``kernel - stride`` past input samples."""
+    return jnp.zeros((batch, in_ch, kernel - stride), dtype)
+
+
+def streaming_conv(state: jax.Array, x: jax.Array, w: jax.Array,
+                   stride: int = 1, precision: str = "highest"):
+    """One streaming step of a cached Conv1d.
+
+    state: [B, Cin, K-S] carried past samples; x: [B, Cin, T] (T % S == 0);
+    w: [Cout, Cin, K]. Returns (state', y [B, Cout, T/S]).
+    """
+    K = w.shape[-1]
+    S = stride
+    xx = jnp.concatenate([state, x], axis=-1)
+    y = fb._conv1d(xx, w, stride=S, padding=(0, 0), precision=precision)
+    new_state = xx[..., xx.shape[-1] - (K - S):]
+    return new_state, y
+
+
+def offline_conv(x: jax.Array, w: jax.Array, stride: int = 1,
+                 causal: bool = False, precision: str = "highest"):
+    """Offline reference for the streaming property: centered (the
+    reference's exported non-cached mode) or causal (what streaming
+    reproduces from zero initial state)."""
+    K = w.shape[-1]
+    if causal:
+        pad = (K - stride, 0)
+    else:
+        pad = centered_padding(K, stride)
+    return fb._conv1d(x, w, stride=stride, padding=pad, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Streaming PQMF
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mode", "precision"))
+def _cached_analysis(x, hkf, state, mode="offline", precision="highest"):
+    """CachedPQMF.forward (pqmf.py:339-343): strided 1->M conv, sign mask."""
+    M = hkf.shape[0]
+    if mode == "offline":
+        y = offline_conv(x, hkf, stride=M, causal=False, precision=precision)
+        new_state = state
+    elif mode == "causal":
+        y = offline_conv(x, hkf, stride=M, causal=True, precision=precision)
+        new_state = state
+    else:  # streaming
+        new_state, y = streaming_conv(state, x, hkf, stride=M,
+                                      precision=precision)
+    return new_state, fb.reverse_half(y)
+
+
+@partial(jax.jit, static_argnames=("mode", "precision"))
+def _cached_synthesis(x, hki, state, mode="offline", precision="highest"):
+    """CachedPQMF.inverse (pqmf.py:345-354): sign mask, M->M conv * M,
+    band flip, phase interleave."""
+    M = hki.shape[0]
+    x = fb.reverse_half(x)
+    if mode == "offline":
+        y = offline_conv(x, hki, stride=1, causal=False, precision=precision)
+        new_state = state
+    elif mode == "causal":
+        y = offline_conv(x, hki, stride=1, causal=True, precision=precision)
+        new_state = state
+    else:
+        new_state, y = streaming_conv(state, x, hki, stride=1,
+                                      precision=precision)
+    y = y * M
+    y = jnp.flip(y, axis=1)
+    B, _, Tp = y.shape
+    y = jnp.swapaxes(y, 1, 2).reshape(B, 1, Tp * M)
+    return new_state, y
+
+
+class StreamingPQMF:
+    """Streaming PQMF with explicit functional state (mono, like the
+    reference's CachedPQMF — pqmf.py:292-305 documents the mono limit; here
+    batch is free, extra channels can be vmapped).
+
+    Modes
+    -----
+    - ``forward(x)`` / ``inverse(x)``: offline, centered padding — the exact
+      behavior of the reference's exported (non-cached) artifact.
+    - ``init_state(batch)`` + ``forward_block(state, x)`` /
+      ``inverse_block(state, x)``: streaming; concatenated block outputs
+      equal the causal offline output for any block partition.
+
+    Conv geometry at (atten=100, M=16): analysis 1->16ch k=513 s=16,
+    synthesis 16->16ch k=33 s=1 (reference pqmf.py:310-333; BASELINE.md).
+    """
+
+    def __init__(self, attenuation: float, n_band: int,
+                 precision: str = "highest"):
+        power = math.log2(n_band)
+        assert power == math.floor(power), "n_band must be a power of 2"
+        self.n_band = n_band
+        self.attenuation = attenuation
+        self.precision = precision
+
+        params = fb.build_filterbank(attenuation, n_band)
+        self.params = params
+        hk = np.asarray(params["hk"])
+        M = n_band
+
+        # analysis kernel: make_odd(hk).unsqueeze(1) -> [M, 1, P(+1)]
+        hkf = fb.make_odd(hk)[:, None, :]
+        # synthesis kernel: make_odd(flip + polyphase rearrange) -> [M, M, L(+1)]
+        hki = fb.make_odd(np.asarray(params["hk_ipoly"]))
+
+        self.hkf = jnp.asarray(hkf)
+        self.hki = jnp.asarray(hki)
+
+        # Latency bookkeeping (cached_conv's cumulative_delay analog), in
+        # full-rate samples, verified empirically in tests/test_streaming.py:
+        # - stream_vs_centered_delay: how much later the streamed output is
+        #   than the centered-offline output (right-lookahead turned into
+        #   delay): analysis right pad + synthesis right pad * M.
+        # - centered_advance: the centered round-trip's own output advance
+        #   (odd kernel center vs asymmetric pad split).
+        # - latency_samples: total streamed round-trip delay vs the input.
+        a_left, a_right = centered_padding(self.hkf.shape[-1], M)
+        _, s_right = centered_padding(self.hki.shape[-1], 1)
+        self.stream_vs_centered_delay = a_right + s_right * M
+        self.centered_advance = self.hkf.shape[-1] // 2 - a_left
+        self.latency_samples = self.stream_vs_centered_delay + self.centered_advance
+
+    # -- offline (centered) ------------------------------------------------
+
+    def forward(self, x):
+        x = self._norm(x)
+        if self.n_band == 1:
+            return x
+        _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="offline",
+                                precision=self.precision)
+        return y
+
+    def inverse(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        if self.n_band == 1:
+            return x
+        _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="offline",
+                                 precision=self.precision)
+        return y
+
+    # -- streaming ----------------------------------------------------------
+
+    def init_state(self, batch: int = 1, dtype=jnp.float32) -> dict:
+        M = self.n_band
+        return {
+            "analysis": conv_state_init(batch, 1, self.hkf.shape[-1], M, dtype),
+            "synthesis": conv_state_init(batch, M, self.hki.shape[-1], 1, dtype),
+        }
+
+    def forward_block(self, state: dict, x):
+        x = self._norm(x)
+        new, y = _cached_analysis(x, self.hkf, state["analysis"],
+                                  mode="streaming", precision=self.precision)
+        return {**state, "analysis": new}, y
+
+    def inverse_block(self, state: dict, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        new, y = _cached_synthesis(x, self.hki, state["synthesis"],
+                                   mode="streaming", precision=self.precision)
+        return {**state, "synthesis": new}, y
+
+    def process_block(self, state: dict, x):
+        """Analysis + synthesis round-trip of one block."""
+        state, bands = self.forward_block(state, x)
+        state, y = self.inverse_block(state, bands)
+        return state, y
+
+    # -- causal offline (ground truth for the streaming property) -----------
+
+    def forward_causal(self, x):
+        x = self._norm(x)
+        _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="causal",
+                                precision=self.precision)
+        return y
+
+    def inverse_causal(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="causal",
+                                 precision=self.precision)
+        return y
+
+    @staticmethod
+    def _norm(x):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None, None, :]
+        elif x.ndim == 2:
+            x = x[None]
+        return x
+
+
+_EMPTY = jnp.zeros((1, 1, 0), jnp.float32)
+
+
+def scan_blocks(step_fn, state, blocks):
+    """``lax.scan`` a streaming step over pre-framed blocks
+    [n_blocks, B, C, T_block] — the whole stream compiles to ONE XLA
+    program with zero host round-trips (SURVEY.md §5 long-context story).
+    """
+    return jax.lax.scan(step_fn, state, blocks)

@@ -1,0 +1,174 @@
+"""L1 filterbank parity + quality tests (reference: pqmf.py:13-288)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pqmf_tpu import PQMF
+from pqmf_tpu.ops import filterbank as fb
+
+from oracles import (
+    best_aligned_snr,
+    reverse_half_np,
+    snr_db,
+    torch_classic_forward,
+    torch_classic_inverse,
+    torch_polyphase_forward,
+    torch_polyphase_inverse,
+)
+
+
+@pytest.fixture(scope="module")
+def bank16():
+    return fb.build_filterbank(100, 16)
+
+
+@pytest.fixture(scope="module")
+def x_rand():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 1, 4096)).astype(np.float32)
+
+
+def test_reverse_half_matches_reference_mask(x_rand):
+    bands = np.random.default_rng(1).standard_normal((2, 16, 64)).astype(
+        np.float32
+    )
+    ours = np.asarray(fb.reverse_half(jnp.asarray(bands)))
+    np.testing.assert_array_equal(ours, reverse_half_np(bands))
+
+
+def test_qmf_bank_shapes(bank16):
+    assert bank16["h"].shape == (377,)
+    assert bank16["hk"].shape == (16, 512)
+    assert bank16["hk_poly"].shape == (16, 16, 32)
+    assert bank16["hk_ipoly"].shape == (16, 16, 32)
+
+
+def test_polyphase_forward_matches_torch(bank16, x_rand):
+    hk = np.asarray(bank16["hk"])
+    want = torch_polyphase_forward(x_rand, hk)
+    got = np.asarray(fb.polyphase_forward(jnp.asarray(x_rand), bank16["hk_poly"]))
+    assert got.shape == want.shape == (2, 16, 256)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_polyphase_inverse_matches_torch(bank16):
+    rng = np.random.default_rng(2)
+    sub = rng.standard_normal((2, 16, 256)).astype(np.float32)
+    hk = np.asarray(bank16["hk"])
+    want = torch_polyphase_inverse(sub, hk)
+    got = np.asarray(fb.polyphase_inverse(jnp.asarray(sub), bank16["hk_ipoly"]))
+    assert got.shape == want.shape == (2, 1, 4096)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_classic_forward_matches_torch(bank16, x_rand):
+    hk = np.asarray(bank16["hk"])
+    want = torch_classic_forward(x_rand, hk)
+    got = np.asarray(fb.classic_forward(jnp.asarray(x_rand), bank16["hk"]))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_classic_inverse_matches_torch(bank16):
+    rng = np.random.default_rng(3)
+    sub = rng.standard_normal((1, 16, 128)).astype(np.float32)
+    hk = np.asarray(bank16["hk"])
+    want = torch_classic_inverse(sub, hk)
+    got = np.asarray(fb.classic_inverse(jnp.asarray(sub), bank16["hk"]))
+    assert got.shape == want.shape == (1, 1, 2048)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_band", [4, 8, 16])
+def test_roundtrip_snr_polyphase(n_band):
+    """The reference design's intrinsic white-noise round-trip quality is
+    ~60 dB in the interior (amplitude ripple ~1e-5 + adjacent-band alias
+    residue) with zero-padding transients at the edges; we must match it."""
+    rng = np.random.default_rng(4)
+    T = 8192
+    x = rng.standard_normal((1, 1, T)).astype(np.float32) * 0.3
+    pq = PQMF(100, n_band)
+    y = np.asarray(pq.inverse(pq.forward(x)))
+    assert y.shape == x.shape
+    s, lag = best_aligned_snr(x.ravel(), y.ravel(), max_lag=4)
+    assert s > 25, f"roundtrip SNR too low: {s} dB (lag {lag})"
+    cut = 1500
+    s_int = snr_db(x.ravel()[cut:-cut], y.ravel()[cut:-cut])
+    assert s_int > 55, f"interior roundtrip SNR too low: {s_int} dB"
+
+
+def test_roundtrip_bit_parity_with_reference_semantics():
+    """Ours vs the torch oracle running the reference's exact op chain:
+    forward -> reverse_half -> reverse_half -> inverse. Must agree at the
+    float32 floor (>100 dB), which is the BASELINE.md '0.1 dB' requirement
+    with huge margin."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 1, 8192)).astype(np.float32) * 0.3
+    pq = PQMF(100, 16)
+    ours = np.asarray(pq.inverse(pq.forward(x)))
+    hk = np.asarray(pq.hk)
+    ref = torch_polyphase_inverse(
+        reverse_half_np(reverse_half_np(torch_polyphase_forward(x, hk))), hk
+    )
+    assert snr_db(ref, ours) > 100
+
+
+def test_roundtrip_classic_vs_polyphase_equivalent():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 1, 2048)).astype(np.float32)
+    pq_p = PQMF(100, 16, polyphase=True)
+    pq_c = PQMF(100, 16, polyphase=False)
+    yp = np.asarray(pq_p.forward(x))
+    yc = np.asarray(pq_c.forward(x))
+    assert yp.shape == yc.shape
+    # polyphase and classic analyses agree (documented equivalence)
+    s, lag = best_aligned_snr(yc.ravel(), yp.ravel(), max_lag=4)
+    assert s > 50, f"classic/polyphase mismatch: {s} dB at lag {lag}"
+
+
+def test_n_band_1_passthrough():
+    x = np.ones((1, 1, 64), np.float32)
+    pq = PQMF(100, 1)
+    np.testing.assert_array_equal(np.asarray(pq.forward(x)), x)
+    np.testing.assert_array_equal(np.asarray(pq.inverse(x)), x)
+
+
+def test_multichannel_roundtrip():
+    """Fixes reference bug §2.5-1: multichannel inverse works here."""
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, 2, 4096)).astype(np.float32)
+    pq = PQMF(100, 16, n_channels=2)
+    sub = pq.forward(x)
+    assert sub.shape == (3, 32, 256)
+    y = np.asarray(pq.inverse(sub))
+    assert y.shape == x.shape
+    s, _ = best_aligned_snr(x.ravel(), y.ravel(), max_lag=4)
+    assert s > 25
+
+
+def test_rank_normalization():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(4096).astype(np.float32)
+    pq = PQMF(100, 16)
+    got1 = np.asarray(pq.forward(x))  # [T]
+    got2 = np.asarray(pq.forward(x[None]))  # [1, T]
+    got3 = np.asarray(pq.forward(x[None, None]))  # [1, 1, T]
+    np.testing.assert_array_equal(got1, got3)
+    np.testing.assert_array_equal(got2, got3)
+
+
+def test_flute_roundtrip_snr():
+    from pqmf_tpu.utils.audio import read_wav
+
+    x, sr = read_wav("/root/reference/audio/flute.wav")
+    assert sr == 44100
+    x = x[:1]  # mono
+    T = (x.shape[-1] // 8192) * 8192
+    x = x[:, :T].astype(np.float32)
+    pq = PQMF(100, 16)
+    y = np.asarray(pq.inverse(pq.forward(x[None])))[0]
+    s, lag = best_aligned_snr(x.ravel(), y.ravel(), max_lag=4)
+    # real audio is band-limited, so it reconstructs far better than noise
+    assert s > 45, f"flute roundtrip SNR {s} dB (lag {lag})"
