@@ -12,8 +12,29 @@ paths.
 
 from pqmf_tpu import design
 from pqmf_tpu.filterbank import PQMF
+from pqmf_tpu.pipelines import (
+    PQMFPitchShiftWrapper,
+    PQMFPitchShiftWrapperTA,
+    PQMFWrapper,
+)
+from pqmf_tpu.shifters import (
+    PhaseVocoderPitchShift,
+    ResamplePitchShift,
+    TorchaudioPitchShift,
+)
 from pqmf_tpu.streaming import StreamingPQMF
 
 __version__ = "0.1.0"
 
-__all__ = ["design", "PQMF", "StreamingPQMF", "__version__"]
+__all__ = [
+    "design",
+    "PQMF",
+    "StreamingPQMF",
+    "PhaseVocoderPitchShift",
+    "ResamplePitchShift",
+    "TorchaudioPitchShift",
+    "PQMFWrapper",
+    "PQMFPitchShiftWrapper",
+    "PQMFPitchShiftWrapperTA",
+    "__version__",
+]

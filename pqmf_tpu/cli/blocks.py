@@ -1,0 +1,143 @@
+"""Block-streaming test harness (reference: 2-TestBlocks.py:20-166).
+
+Simulates a real-time host: Hann-windowed overlapping blocks -> per-block
+``pitchshift`` with carried crossfade state -> windowed overlap-add
+normalized by the accumulated window energy, alongside a plain
+forward/inverse reconstruction stream and a whole-file pass, with RMS
+metrics printed at the end (the reference's only quantitative output).
+
+Also fixes reference bug SURVEY.md §2.5-2: the whole-file pass calls the
+method that actually exists, so ``nonblock_pitchshifter.wav`` is produced.
+
+Usage:
+    python -m pqmf_tpu.cli.blocks <input.wav> --block 4096 [--overlap N]
+        [--out_prefix blocktest] [--out_dir DIR] [--n_band 16]
+        [--buffer 8192] [--shifts s0,s1,...] [--seed N] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("input", help="input wav file")
+    p.add_argument("--block", type=int, default=4096,
+                   help="block size (the host's buffer)")
+    p.add_argument("--overlap", type=int, default=None,
+                   help="overlap samples between blocks (default block//2)")
+    p.add_argument("--out_prefix", type=str, default="blocktest")
+    p.add_argument("--out_dir", type=str, default="audio")
+    p.add_argument("--attenuation", type=int, default=100)
+    p.add_argument("--n_band", type=int, default=16)
+    p.add_argument("--buffer", type=int, default=8192,
+                   help="m_buffer_size the wrapper is built with")
+    p.add_argument("--shifts", type=str, default=None,
+                   help="comma-separated semitone shifts per band; default "
+                        "random uniform(-24.75, 12.43) like the reference "
+                        "export (1-PitchShifterWrapper.py:331)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+    from pqmf_tpu.utils.audio import read_wav, rms, write_wav
+
+    wav, sr = read_wav(args.input)
+    if wav.shape[0] > 1:
+        wav = wav.mean(axis=0, keepdims=True)
+    wav = wav.astype(np.float32)
+
+    overlap = args.overlap if args.overlap is not None else args.block // 2
+    if overlap < 0 or overlap >= args.block:
+        raise ValueError("overlap must be in [0, block-1]")
+    hop = args.block - overlap
+
+    if args.shifts is not None:
+        shifts = [float(s) for s in args.shifts.split(",")]
+    else:
+        rng = random.Random(args.seed)
+        shifts = [rng.uniform(-24.75, 12.43) for _ in range(args.n_band)]
+    print(f"shifts (semitones): {[round(s, 2) for s in shifts]}")
+
+    L = wav.shape[-1]
+    n_frames = 1 if L <= args.block else (
+        int(math.ceil((L - args.block) / float(hop))) + 1)
+    total_needed = (n_frames - 1) * hop + args.block
+    pad = total_needed - L
+    if pad > 0:
+        wav = np.pad(wav, ((0, 0), (0, pad)))
+    total_len = wav.shape[-1]
+    print(f"loaded {args.input}: shape={wav.shape}, sr={sr}, pad={pad}, "
+          f"blocks={n_frames}")
+
+    wrapper = PQMFPitchShiftWrapper(args.attenuation, args.n_band,
+                                    args.buffer, sr, shifts)
+
+    n = np.arange(args.block)
+    window = (0.5 - 0.5 * np.cos(2 * np.pi * n / args.block)).astype(
+        np.float32)[None, :]
+
+    out_accum = np.zeros((1, total_len), np.float32)
+    norm_accum = np.zeros_like(out_accum)
+    recon_accum = np.zeros_like(out_accum)
+
+    state = wrapper.init_state()
+    for frame_idx in range(n_frames):
+        i = frame_idx * hop
+        blk = wav[:, i:i + args.block] * window
+        state, out = wrapper.pitchshift_fn(state, blk)
+        out = np.asarray(out)
+        out_accum[:, i:i + args.block] += out * window
+        norm_accum[:, i:i + args.block] += window * window
+        rec = np.asarray(wrapper.forward_fn(blk))
+        recon_accum[:, i:i + args.block] += rec * window
+
+    eps = 1e-8
+    pitch_stream = (out_accum / (norm_accum + eps))[:, : total_len - pad]
+    recon_stream = (recon_accum / (norm_accum + eps))[:, : total_len - pad]
+
+    # whole-file pass (reference bug §2.5-2 fixed: call the real method)
+    wrapper.reset()
+    T_full = (wav.shape[-1] // args.n_band) * args.n_band
+    full_out = np.asarray(
+        wrapper.pitchshift(wav[:, :T_full]))[:, : wav.shape[-1] - pad]
+
+    # an out_prefix with a directory part (e.g. /tmp/blocktest) routes ALL
+    # outputs there, including the prefix-less nonblock file
+    if os.path.dirname(args.out_prefix):
+        args.out_dir = os.path.dirname(args.out_prefix)
+        args.out_prefix = os.path.basename(args.out_prefix)
+    os.makedirs(args.out_dir, exist_ok=True)
+    write_wav(os.path.join(args.out_dir,
+                           f"{args.out_prefix}_pitchshifter.wav"),
+              pitch_stream, sr)
+    write_wav(os.path.join(args.out_dir,
+                           f"{args.out_prefix}_recontructed.wav"),
+              recon_stream, sr)
+    write_wav(os.path.join(args.out_dir, "nonblock_pitchshifter.wav"),
+              full_out, sr)
+    print(f"saved stream + full outputs to {args.out_dir}/")
+
+    orig = wav[:, : wav.shape[-1] - pad]
+    print("RMS orig:", rms(orig))
+    print("RMS stream_pitch:", rms(pitch_stream))
+    print("RMS stream_recon:", rms(recon_stream))
+    print("RMS full_pitch:", rms(full_out))
+
+
+if __name__ == "__main__":
+    main()

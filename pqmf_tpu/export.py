@@ -1,0 +1,178 @@
+"""Export / artifact layer — the TorchScript-serialization analog.
+
+The reference deploys by ``torch.jit.script(wrapper).save(path)`` and
+reloading inside the conTorchionist host (PQMFWrapper.py:102-108,
+1-PitchShifterWrapper.py:337-343), with all state (filter buffers, conv
+weights, crossfade buffers, the baked-in random shifts) inside the
+archive (SURVEY.md §5 checkpoint/resume).
+
+The TPU-native artifact is a directory:
+
+- ``manifest.json`` — config, the conTorchionist method/attribute registry,
+  per-method channel counts, buffer sizes, state spec, platform tag;
+- ``weights.npz``   — every derived tensor (prototype, bank, streaming conv
+  kernels, fades), so loading NEVER re-runs the Nelder–Mead design chain
+  and is bit-identical to the exporting process;
+- ``state.npz``     — the current crossfade/streaming state (resume);
+- ``<method>.jaxexport`` (optional) — ``jax.export`` StableHLO of the
+  jitted method for the export shapes, loadable without Python tracing on
+  a matching platform.
+
+``load_artifact`` reconstructs a fully functional wrapper from weights
+alone (portable across platforms); the serialized StableHLO is an extra
+fast path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqmf_tpu import __version__
+from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, PQMFWrapper
+
+__all__ = ["save_artifact", "load_artifact", "export_stablehlo"]
+
+
+def _weights_of(wrapper) -> dict:
+    w = {
+        "h": np.asarray(wrapper.pqmf.params["h"]),
+        "hk": np.asarray(wrapper.pqmf.params["hk"]),
+        "hk_poly": np.asarray(wrapper.pqmf.params["hk_poly"]),
+        "hk_ipoly": np.asarray(wrapper.pqmf.params["hk_ipoly"]),
+        "hkf": np.asarray(wrapper.pqmf.hkf),
+        "hki": np.asarray(wrapper.pqmf.hki),
+    }
+    if isinstance(wrapper, PQMFPitchShiftWrapper):
+        w["fade_out"] = np.asarray(wrapper._fade_out)
+        w["fade_in"] = np.asarray(wrapper._fade_in)
+        w["rates"] = np.asarray(wrapper._rates)
+    return w
+
+
+def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
+                  example_length: int | None = None) -> str:
+    """Serialize a wrapper (PQMFWrapper or PQMFPitchShiftWrapper) to an
+    artifact directory. Returns the path."""
+    os.makedirs(path, exist_ok=True)
+    kind = type(wrapper).__name__
+    manifest = {
+        "format_version": 1,
+        "framework_version": __version__,
+        "kind": kind,
+        "platform": jax.default_backend(),
+        "config": {
+            "attenuation": wrapper.attenuation,
+            "n_band": wrapper.n_band,
+            "m_buffer_size": wrapper.m_buffer_size,
+        },
+        "methods": wrapper.get_methods(),
+        "attributes": wrapper.get_attributes(),
+        "attribute_values": {
+            k: v for k, v in wrapper.attribute_dict().items()
+            if isinstance(v, (int, float, str))
+        },
+    }
+    if isinstance(wrapper, PQMFPitchShiftWrapper):
+        manifest["config"]["sample_rate"] = wrapper.sample_rate
+        manifest["config"]["shifts_in_semitones"] = list(wrapper.shifts)
+        manifest["state_spec"] = {
+            "prev_tail": [wrapper.n_band, wrapper.band_overlap]}
+        np.savez(os.path.join(path, "state.npz"),
+                 prev_tail=np.asarray(wrapper._state["prev_tail"]))
+
+    np.savez(os.path.join(path, "weights.npz"), **_weights_of(wrapper))
+
+    if with_stablehlo and isinstance(wrapper, PQMFPitchShiftWrapper):
+        T = example_length or wrapper.m_buffer_size
+        try:
+            blob = export_stablehlo(wrapper, T)
+            with open(os.path.join(path, "pitchshift.jaxexport"), "wb") as f:
+                f.write(blob)
+            manifest["stablehlo"] = {"pitchshift": {"length": T}}
+        except Exception as e:  # platform may not support export
+            manifest["stablehlo_error"] = str(e)[:200]
+
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return path
+
+
+def export_stablehlo(wrapper: PQMFPitchShiftWrapper, length: int) -> bytes:
+    """Ahead-of-time export of the fused pitchshift step for a fixed block
+    length via ``jax.export`` (StableHLO)."""
+    from jax import export as jexport
+
+    def step(prev_tail, x):
+        state, y = wrapper.pitchshift_fn({"prev_tail": prev_tail}, x)
+        return state["prev_tail"], y
+
+    args = (
+        jnp.zeros((wrapper.n_band, wrapper.band_overlap), jnp.float32),
+        jnp.zeros((1, length), jnp.float32),
+    )
+    exp = jexport.export(jax.jit(step))(*args)
+    return exp.serialize()
+
+
+def load_artifact(path: str):
+    """Rebuild a wrapper from an artifact directory — weights are loaded
+    directly (no design-chain rerun), state is restored."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    weights = dict(np.load(os.path.join(path, "weights.npz")))
+    cfg = manifest["config"]
+    kind = manifest["kind"]
+
+    if kind == "PQMFWrapper":
+        wrapper = PQMFWrapper.__new__(PQMFWrapper)
+        _init_wrapper_from_weights(wrapper, cfg, weights, manifest)
+    elif kind == "PQMFPitchShiftWrapper":
+        wrapper = PQMFPitchShiftWrapper(
+            cfg["attenuation"], cfg["n_band"], cfg["m_buffer_size"],
+            cfg.get("sample_rate", 44100),
+            cfg.get("shifts_in_semitones"),
+        )
+        _restore_pqmf_weights(wrapper.pqmf, weights)
+        state_path = os.path.join(path, "state.npz")
+        if os.path.exists(state_path):
+            st = np.load(state_path)
+            wrapper._state = {"prev_tail": jnp.asarray(st["prev_tail"])}
+    else:
+        raise ValueError(f"unknown artifact kind {kind}")
+    return wrapper, manifest
+
+
+def _restore_pqmf_weights(pqmf, weights):
+    pqmf.params = {
+        "h": jnp.asarray(weights["h"]),
+        "hk": jnp.asarray(weights["hk"]),
+        "hk_poly": jnp.asarray(weights["hk_poly"]),
+        "hk_ipoly": jnp.asarray(weights["hk_ipoly"]),
+    }
+    pqmf.hkf = jnp.asarray(weights["hkf"])
+    pqmf.hki = jnp.asarray(weights["hki"])
+
+
+def _init_wrapper_from_weights(wrapper, cfg, weights, manifest):
+    # construct normally (design chain is memoized) then override weights
+    wrapper.__init__(cfg["attenuation"], cfg["n_band"],
+                     cfg["m_buffer_size"])
+    _restore_pqmf_weights(wrapper.pqmf, weights)
+
+
+def load_stablehlo(path: str):
+    """Deserialize the exported pitchshift step; returns a callable
+    ``(prev_tail, x) -> (prev_tail', y)`` or None if absent."""
+    from jax import export as jexport
+
+    p = os.path.join(path, "pitchshift.jaxexport")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return lambda prev_tail, x: exp.call(prev_tail, x)

@@ -1,1 +1,135 @@
-"""Resampling ops. Implemented in the shifter milestone."""
+"""Resampling ops (pure JAX, jit/vmap-safe).
+
+Two resamplers exist in the reference stack:
+
+1. Linear interpolation — ``F.interpolate(mode='linear',
+   align_corners=False)``, used by the phase-vocoder shifter to map the
+   stretched signal back to the input length
+   (VocoderPitchShifter.py:299-302) and by ``ScriptablePitchShift``
+   (1-PitchShifterWrapper.py:82). Reimplemented exactly (tested vs torch).
+
+2. Windowed-sinc polyphase resampling — what
+   ``torchaudio.functional.resample`` does inside
+   ``torchaudio.transforms.PitchShift`` (PQMFPsWrapper.py:71).
+   Reimplemented from the published algorithm (sinc kernel bank at the
+   reduced rate ratio, Hann or Kaiser windowed); torchaudio itself is not
+   available in this environment, so it is validated by DSP properties
+   (tone frequency scaling, DC preservation, output length).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "interpolate_linear",
+    "interpolate_linear_dynamic",
+    "sinc_resample_kernel",
+    "sinc_resample",
+]
+
+
+@partial(jax.jit, static_argnames=("size",))
+def interpolate_linear(x: jax.Array, size: int) -> jax.Array:
+    """``F.interpolate(x, size, mode='linear', align_corners=False)``.
+
+    x: [..., T] -> [..., size]. Source coordinate of output i is
+    ``(i + 0.5) * T/size - 0.5`` clamped to [0, T-1].
+    """
+    T = x.shape[-1]
+    scale = T / size
+    src = (jnp.arange(size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, T - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, T - 1)
+    a = (src - i0).astype(x.dtype)
+    return x[..., i0] * (1 - a) + x[..., i1] * a
+
+
+@partial(jax.jit, static_argnames=("size",))
+def interpolate_linear_dynamic(x: jax.Array, src_len: jax.Array, size: int):
+    """Like :func:`interpolate_linear`, but the *effective* source length is
+    a traced scalar ``src_len <= x.shape[-1]`` (the valid prefix of a
+    padded buffer). This is what lets the per-band pitch-shift pipeline —
+    where each band stretches to a different length — run as ONE vmapped
+    XLA program with static shapes.
+    """
+    T = x.shape[-1]
+    scale = src_len.astype(jnp.float32) / size
+    src = (jnp.arange(size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, jnp.maximum(src_len.astype(jnp.float32) - 1, 0))
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.maximum(src_len - 1, 0))
+    i0 = jnp.clip(i0, 0, T - 1)
+    i1 = jnp.clip(i1, 0, T - 1)
+    a = (src - i0).astype(x.dtype)
+    return jnp.take(x, i0, axis=-1) * (1 - a) + jnp.take(x, i1, axis=-1) * a
+
+
+def sinc_resample_kernel(orig_freq: int, new_freq: int,
+                         lowpass_filter_width: int = 6,
+                         rolloff: float = 0.99,
+                         window: str = "hann",
+                         beta: float | None = None,
+                         dtype=np.float32):
+    """Build the polyphase windowed-sinc kernel bank (host-side NumPy),
+    following the torchaudio/resampy construction: one FIR per output
+    phase at the reduced ratio ``new/orig``.
+
+    Returns (kernels [new_freq, 1, K], width) where width is the one-sided
+    support in input samples.
+    """
+    g = math.gcd(int(orig_freq), int(new_freq))
+    orig_freq, new_freq = int(orig_freq) // g, int(new_freq) // g
+
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = int(math.ceil(lowpass_filter_width * orig_freq / base_freq))
+    idx = np.arange(-width, width + orig_freq, dtype=np.float64) / orig_freq
+    t = (-np.arange(new_freq, dtype=np.float64)[:, None] / new_freq + idx[None]
+         ) * base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+
+    if window == "hann":
+        win = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
+    elif window == "kaiser":
+        if beta is None:
+            beta = 14.769656459379492  # torchaudio's default
+        win = np.i0(beta * np.sqrt(np.clip(
+            1 - (t / lowpass_filter_width) ** 2, 0, 1))) / np.i0(beta)
+    else:
+        raise ValueError(f"unknown window {window}")
+
+    scale = base_freq / orig_freq
+    kernels = np.where(t == 0, 1.0, np.sin(np.pi * t) / (np.pi * t))
+    kernels = (kernels * win * scale).astype(dtype)
+    return kernels[:, None, :], width, orig_freq, new_freq
+
+
+@partial(jax.jit, static_argnames=("orig_freq", "new_freq",
+                                   "lowpass_filter_width", "rolloff",
+                                   "window"))
+def sinc_resample(x: jax.Array, orig_freq: int, new_freq: int,
+                  lowpass_filter_width: int = 6, rolloff: float = 0.99,
+                  window: str = "hann") -> jax.Array:
+    """Windowed-sinc polyphase resample, torchaudio-style.
+
+    x: [B, T] -> [B, ceil(T * new/orig)].
+    """
+    kernels, width, o, n = sinc_resample_kernel(
+        orig_freq, new_freq, lowpass_filter_width, rolloff, window)
+    B, T = x.shape
+    target_len = int(math.ceil(new_freq * T / orig_freq))
+    xp = jnp.pad(x, ((0, 0), (width, width + o)))[:, None, :]
+    y = jax.lax.conv_general_dilated(
+        xp, jnp.asarray(kernels), window_strides=(o,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, n_phases, T//o (+1)]
+    # interleave phases: output sample j*n + p comes from phase p at step j
+    y = jnp.swapaxes(y, 1, 2).reshape(B, -1)
+    return y[:, :target_len]

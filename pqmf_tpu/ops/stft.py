@@ -1,1 +1,298 @@
-"""torch-compatible STFT/ISTFT in JAX. Implemented in the shifter milestone."""
+"""torch-compatible STFT / ISTFT in pure JAX.
+
+The reference's phase vocoder is built on ``torch.stft`` / ``torch.istft``
+with ``normalized=True, center=True, pad_mode='constant'`` and a Hann
+window (VocoderPitchShifter.py:85-95, 148-155). This module reproduces
+those exact semantics (verified numerically against torch in
+``tests/test_stft.py``):
+
+- center padding of ``n_fft//2`` zeros on both sides,
+- window of ``win_length`` zero-padded centered to ``n_fft``,
+- frame count ``1 + (T_padded - n_fft) // hop``,
+- ``normalized=True`` scales the analysis by ``n_fft**-0.5`` (and the
+  synthesis back by ``n_fft**0.5``),
+- ISTFT overlap-add with window-square-sum normalization, center-trimmed,
+  default length ``(frames - 1) * hop``.
+
+TPU notes: the TPU backend available here (axon) implements NEITHER
+complex dtypes NOR FFT ops, so the production path is **real-valued
+matmul-DFT**: framed signal [frames, n_fft] x DFT basis [n_fft, F] on the
+MXU — for the pipeline's n_fft=512 geometry this is the fastest mapping
+anyway (one fused matmul pair per direction, no complex arithmetic). The
+complex/FFT variants below exist for CPU-side parity testing against
+torch; `stft_ri`/`istft_ri` are the deployable ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "hann_window",
+    "stft",
+    "istft",
+    "frame_count",
+    "dft_basis",
+    "idft_basis",
+    "stft_ri",
+    "istft_ri",
+    "istft_ri_parts",
+]
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
+    """torch.hann_window (periodic=True): 0.5 - 0.5 cos(2 pi n / N)."""
+    n = np.arange(win_length)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    return jnp.asarray(w, dtype)
+
+
+def _padded_window(window: jax.Array, n_fft: int) -> jax.Array:
+    """Zero-pad a win_length window centered to n_fft (torch semantics)."""
+    wl = window.shape[-1]
+    if wl == n_fft:
+        return window
+    left = (n_fft - wl) // 2
+    return jnp.pad(window, (left, n_fft - wl - left))
+
+
+def frame_count(T: int, n_fft: int, hop_length: int, center: bool = True) -> int:
+    if center:
+        T = T + 2 * (n_fft // 2)
+    return 1 + (T - n_fft) // hop_length
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
+                                   "normalized", "pad_mode"))
+def stft(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
+         center: bool = True, normalized: bool = True,
+         pad_mode: str = "constant") -> jax.Array:
+    """Short-time Fourier transform matching ``torch.stft``.
+
+    x: [B, T]; window: [win_length] (padded to n_fft internally).
+    Returns complex64 [B, n_fft//2 + 1, frames].
+    """
+    B, T = x.shape
+    if center:
+        pad = n_fft // 2
+        if pad_mode == "constant":
+            x = jnp.pad(x, ((0, 0), (pad, pad)))
+        elif pad_mode == "reflect":
+            x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        else:
+            raise ValueError(f"unsupported pad_mode {pad_mode}")
+    Tp = x.shape[-1]
+    frames = 1 + (Tp - n_fft) // hop_length
+    w = _padded_window(window, n_fft).astype(x.dtype)
+
+    idx = (np.arange(frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :])  # [frames, n_fft]
+    framed = x[:, idx] * w  # [B, frames, n_fft]
+    spec = jnp.fft.rfft(framed, axis=-1)  # [B, frames, F]
+    if normalized:
+        spec = spec * (1.0 / np.sqrt(n_fft))
+    return jnp.swapaxes(spec, 1, 2)  # [B, F, frames]
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
+                                   "normalized", "length"))
+def istft(spec: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
+          center: bool = True, normalized: bool = True,
+          length: int | None = None) -> jax.Array:
+    """Inverse STFT matching ``torch.istft``.
+
+    spec: complex [B, n_fft//2+1, frames]. Returns [B, length] with the
+    default length ``(frames-1)*hop`` (center=True).
+    """
+    y, wsq = _istft_parts(spec, n_fft, hop_length, window,
+                          normalized=normalized)
+    total = y.shape[-1]
+    out = y / jnp.where(wsq > 1e-11, wsq, 1.0)
+    if center:
+        trim = n_fft // 2
+        if length is None:
+            out = out[:, trim: total - trim]
+        else:
+            # torch serves real OLA samples from the right half-window
+            # region when length exceeds the default, then zero-pads
+            avail = min(length, total - trim)
+            out = out[:, trim: trim + avail]
+            if avail < length:
+                out = jnp.pad(out, ((0, 0), (0, length - avail)))
+    elif length is not None:
+        avail = min(length, total)
+        out = out[:, :avail]
+        if avail < length:
+            out = jnp.pad(out, ((0, 0), (0, length - avail)))
+    return out
+
+
+def _istft_parts(spec, n_fft, hop_length, window, normalized=True,
+                 frame_mask=None):
+    """Shared OLA core: returns (accumulated signal, accumulated window^2)
+    of full padded length ``n_fft + (frames-1)*hop``.
+
+    ``frame_mask`` ([frames] of 0/1) supports the per-band variable
+    ``frames_out`` case in the vmapped pitch-shift pipeline: masked frames
+    contribute to neither numerator nor denominator.
+    """
+    B, F, frames = spec.shape
+    w = _padded_window(window, n_fft)
+    frames_t = jnp.swapaxes(spec, 1, 2)  # [B, frames, F]
+    y_f = jnp.fft.irfft(frames_t, n=n_fft, axis=-1)  # [B, frames, n_fft]
+    if normalized:
+        y_f = y_f * np.sqrt(n_fft)
+    y_f = y_f * w  # synthesis window
+
+    wsq_f = jnp.broadcast_to(w * w, (frames, n_fft))
+    if frame_mask is not None:
+        y_f = y_f * frame_mask[None, :, None]
+        wsq_f = wsq_f * frame_mask[:, None]
+
+    total = n_fft + (frames - 1) * hop_length
+    idx = (np.arange(frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :]).reshape(-1)  # [frames*n_fft]
+    y = jnp.zeros((B, total), y_f.dtype).at[:, idx].add(
+        y_f.reshape(B, -1), mode="drop")
+    wsq = jnp.zeros((total,), y_f.dtype).at[idx].add(
+        wsq_f.reshape(-1), mode="drop")
+    return y, wsq
+
+
+# ---------------------------------------------------------------------------
+# Real-valued matmul-DFT path (the TPU production path: no complex dtypes)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_basis_np(n_fft: int):
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft  # [n_fft, F]
+    return np.cos(ang), np.sin(ang)
+
+
+def dft_basis(n_fft: int, dtype=jnp.float32):
+    """rfft as matmul: re = frames @ C, im = frames @ (-S).
+
+    Returns (C [n_fft, F], S [n_fft, F]) with F = n_fft//2 + 1;
+    ``X[k] = sum_n x[n] (cos - i sin)`` so ``im = -(frames @ S)``.
+    """
+    c, s = _dft_basis_np(n_fft)
+    return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _idft_basis_np(n_fft: int):
+    F = n_fft // 2 + 1
+    k = np.arange(F)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft  # [F, n_fft]
+    w = np.full(F, 2.0 / n_fft)
+    w[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        w[-1] = 1.0 / n_fft
+    ci = w[:, None] * np.cos(ang)
+    si = -w[:, None] * np.sin(ang)
+    return ci, si
+
+
+def idft_basis(n_fft: int, dtype=jnp.float32):
+    """irfft as matmul: x = re @ Ci + im @ Si (hermitian-symmetric
+    weights folded in)."""
+    ci, si = _idft_basis_np(n_fft)
+    return jnp.asarray(ci, dtype), jnp.asarray(si, dtype)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
+                                   "normalized", "pad_mode"))
+def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
+            center: bool = True, normalized: bool = True,
+            pad_mode: str = "constant"):
+    """:func:`stft` with real/imag outputs via matmul-DFT (MXU path).
+
+    x: [B, T] -> (re, im) each [B, F, frames]. Matches torch.stft
+    numerically (float32 HIGHEST-precision matmuls).
+    """
+    B, T = x.shape
+    if center:
+        pad = n_fft // 2
+        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
+    Tp = x.shape[-1]
+    frames = 1 + (Tp - n_fft) // hop_length
+    w = _padded_window(window, n_fft).astype(x.dtype)
+
+    idx = (np.arange(frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :])
+    framed = x[:, idx] * w  # [B, frames, n_fft]
+    C, S = dft_basis(n_fft, x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("bfn,nk->bkf", framed, C, precision=hp)
+    im = -jnp.einsum("bfn,nk->bkf", framed, S, precision=hp)
+    if normalized:
+        scale = 1.0 / np.sqrt(n_fft)
+        re, im = re * scale, im * scale
+    return re, im
+
+
+def istft_ri_parts(re, im, n_fft, hop_length, window, normalized=True,
+                   frame_mask=None):
+    """OLA core of the real-valued ISTFT: returns (y, wsq) over the full
+    padded length ``n_fft + (frames-1)*hop``, with optional per-frame
+    masking (variable frames_out under vmap)."""
+    B, F, frames = re.shape
+    w = _padded_window(window, n_fft)
+    Ci, Si = idft_basis(n_fft, re.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    y_f = (jnp.einsum("bkf,kn->bfn", re, Ci, precision=hp)
+           + jnp.einsum("bkf,kn->bfn", im, Si, precision=hp))
+    if normalized:
+        y_f = y_f * np.sqrt(n_fft)
+    y_f = y_f * w
+
+    wsq_f = jnp.broadcast_to(w * w, (frames, n_fft))
+    if frame_mask is not None:
+        y_f = y_f * frame_mask[None, :, None]
+        wsq_f = wsq_f * frame_mask[:, None]
+
+    total = n_fft + (frames - 1) * hop_length
+    idx = (np.arange(frames)[:, None] * hop_length
+           + np.arange(n_fft)[None, :]).reshape(-1)
+    y = jnp.zeros((B, total), y_f.dtype).at[:, idx].add(
+        y_f.reshape(B, -1), mode="drop")
+    wsq = jnp.zeros((total,), y_f.dtype).at[idx].add(
+        wsq_f.reshape(-1), mode="drop")
+    return y, wsq
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
+                                   "normalized", "length"))
+def istft_ri(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
+             window: jax.Array, center: bool = True, normalized: bool = True,
+             length: int | None = None) -> jax.Array:
+    """:func:`istft` from real/imag spectra via matmul-IDFT (MXU path)."""
+    y, wsq = istft_ri_parts(re, im, n_fft, hop_length, window,
+                            normalized=normalized)
+    total = y.shape[-1]
+    out = y / jnp.where(wsq > 1e-11, wsq, 1.0)
+    if center:
+        trim = n_fft // 2
+        if length is None:
+            out = out[:, trim: total - trim]
+        else:
+            avail = min(length, total - trim)
+            out = out[:, trim: trim + avail]
+            if avail < length:
+                out = jnp.pad(out, ((0, 0), (0, length - avail)))
+    elif length is not None:
+        avail = min(length, total)
+        out = out[:, :avail]
+        if avail < length:
+            out = jnp.pad(out, ((0, 0), (0, length - avail)))
+    return out

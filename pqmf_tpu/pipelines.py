@@ -1,0 +1,454 @@
+"""L3b — end-to-end processing pipelines + conTorchionist-style registry.
+
+TPU-native rebuild of the reference's three wrappers:
+
+- :class:`PQMFWrapper`            <- PQMFWrapper.py:17-92
+- :class:`PQMFPitchShiftWrapper`  <- PitchShifterPvoc/1-PitchShifterWrapper.py:104-323
+  (the flagship: per-band phase-vocoder shift with cross-block crossfade)
+- :class:`PQMFPitchShiftWrapperTA`<- PitchShifterTorchaudio/PQMFPsWrapper.py:31-150
+
+TPU-first architecture (SURVEY.md §3.4 "in the TPU build both loops
+vanish"): the flagship's 16-band Python loop and the per-frame phase-
+vocoder loop are replaced by ONE jitted XLA program —
+
+    analysis conv -> batched matmul-DFT STFT of all bands -> vmapped
+    stretch over bands (per-band rate/frames_out as arrays, padded to the
+    max frame count with masks) -> masked OLA ISTFT -> per-band dynamic
+    linear resample -> crossfade against carried state -> synthesis conv
+
+with the crossfade state (`prev_tail`, reference :164-180) threaded
+explicitly: ``pitchshift(state, x) -> (state', y)``. A convenience
+stateful facade mirrors the reference's implicit-buffer call style for
+real-time hosts.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqmf_tpu.ops import phase_vocoder as pv
+from pqmf_tpu.ops import resample as rs
+from pqmf_tpu.ops import stft as S
+from pqmf_tpu.shifters import TorchaudioPitchShift
+from pqmf_tpu.streaming import StreamingPQMF
+
+__all__ = [
+    "PQMFWrapper",
+    "PQMFPitchShiftWrapper",
+    "PQMFPitchShiftWrapperTA",
+    "derive_stft_geometry",
+]
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+def derive_stft_geometry(m_buffer_size: int, n_band: int):
+    """The reference's buffer-size-derived per-band STFT geometry
+    (1-PitchShifterWrapper.py:137-151): returns (win, hop, n_fft,
+    band_overlap). Defaults (8192, 16) -> (512, 128, 512, 128)."""
+    sub_len_est = max(16, int(m_buffer_size // max(1, n_band)))
+    win = int(max(16, min(sub_len_est, 4096)))
+    hop = max(1, win // 4)
+    n_fft = min(_next_pow2(win), 4096)
+    if n_fft < win:
+        n_fft = win
+    band_overlap = int(min(hop, max(0, win // 4)))
+    return win, hop, n_fft, band_overlap
+
+
+# ---------------------------------------------------------------------------
+# fused per-band phase-vocoder shift (the hot path)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
+                                   "crossfade"))
+def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
+                           fade_in, n_fft, hop, win, Tb, FO_max,
+                           crossfade=True):
+    """Pitch-shift every sub-band in one fused program.
+
+    bands: [B, M, Tb]; rates/frames_out: [M]; prev_tail: [M, L].
+    Returns (shifted [B, M, Tb], new_tail [M, L]).
+    """
+    B, M, _ = bands.shape
+    window = S.hann_window(win, bands.dtype)
+
+    # --- batched STFT of all bands (same geometry) ---
+    x = bands.reshape(B * M, Tb)
+    if Tb < n_fft:  # reference pads short sub-bands right to n_fft
+        x = jnp.pad(x, ((0, 0), (0, n_fft - Tb)))
+    re, im = S.stft_ri(x, n_fft, hop, window, center=True, normalized=True,
+                       pad_mode="constant")
+    F_, frames = re.shape[1], re.shape[2]
+    re = re.reshape(B, M, F_, frames).swapaxes(0, 1)  # [M, B, F, frames]
+    im = im.reshape(B, M, F_, frames).swapaxes(0, 1)
+
+    omega = pv.phase_advance(F_, hop, n_fft, bands.dtype)
+    trim = n_fft // 2
+    one_off = (n_fft - win) // 2  # placement of the 1-frame irfft fallback
+    Ci, Si = S.idft_basis(n_fft, bands.dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    def one_band(re_b, im_b, rate, fo):
+        """re_b/im_b: [B, F, frames]; rate: f32; fo: i32 (frames_out)."""
+        # reference magphase + stretch rule, padded to FO_max and masked
+        mag = jnp.sqrt(re_b * re_b + im_b * im_b + 1e-12)
+        phase = jnp.arctan2(im_b, re_b)
+
+        j = jnp.arange(FO_max, dtype=bands.dtype)
+        t_prime = j * rate
+        t0 = jnp.clip(jnp.floor(t_prime).astype(jnp.int32), 0, frames - 1)
+        t1 = jnp.minimum(t0 + 1, frames - 1)
+        a = (t_prime - t0.astype(bands.dtype))[None, None, :]
+
+        mag_s = (1 - a) * jnp.take(mag, t0, -1) + a * jnp.take(mag, t1, -1)
+        om = omega[None, :, None]
+        dp = pv.principal_angle(jnp.take(phase, t1, -1)
+                                - jnp.take(phase, t0, -1) - om)
+        phi = jnp.take(phase, t0, -1) + om + a * dp
+        fmask = (jnp.arange(FO_max) < fo).astype(bands.dtype)
+        re_s = mag_s * jnp.cos(phi) * fmask[None, None, :]
+        im_s = mag_s * jnp.sin(phi) * fmask[None, None, :]
+
+        # masked OLA ISTFT over the full (untrimmed) buffer
+        y, wsq = S.istft_ri_parts(re_s, im_s, n_fft, hop, window,
+                                  normalized=True, frame_mask=fmask)
+        ola = y / jnp.where(wsq > 1e-11, wsq, 1.0)  # [B, total]
+        total = ola.shape[-1]
+        i = jnp.arange(total)
+        # center-fit of the istft output (length (fo-1)*hop) into
+        # length_stretch = (fo-1)*hop + n_fft lands at the SAME buffer
+        # positions [trim, trim + (fo-1)*hop) — a pure mask
+        valid = (i >= trim) & (i < trim + (fo - 1) * hop)
+        p_multi = ola * valid.astype(bands.dtype)
+
+        # reference 1-frame fallback: direct (normalized-in, unscaled-out)
+        # irfft of frame 0, cropped to win, centered in n_fft
+        y1 = (jnp.einsum("bk,kn->bn", re_s[..., 0], Ci, precision=hp)
+              + jnp.einsum("bk,kn->bn", im_s[..., 0], Si, precision=hp))
+        p_one = jnp.zeros_like(ola).at[:, one_off:one_off + win].set(
+            y1[:, :win])
+
+        p = jnp.where(fo == 1, p_one, p_multi)
+        length_stretch = jnp.maximum((fo - 1) * hop + n_fft, 1)
+        return rs.interpolate_linear_dynamic(p, length_stretch, Tb)
+
+    shifted = jax.vmap(one_band)(re, im, rates, frames_out)  # [M, B, Tb]
+
+    # --- crossfade against the carried per-band tail (batch==1 only,
+    #     mirroring the reference's guard at :262) ---
+    L = prev_tail.shape[-1]
+    if crossfade and L > 0 and B == 1 and Tb >= L:
+        head = shifted[:, 0, :L]
+        blended = prev_tail * fade_out + head * fade_in
+        new_tail = shifted[:, 0, Tb - L:]
+        shifted = shifted.at[:, 0, :L].set(blended)
+    else:
+        new_tail = prev_tail
+    return jnp.swapaxes(shifted, 0, 1), new_tail  # [B, M, Tb]
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+class _RegistryMixin:
+    """conTorchionist protocol surface (PQMFWrapper.py:27-49): the host
+    introspects exported modules via get_methods()/get_attributes() plus
+    per-method channel counts and buffer-size attributes."""
+
+    _methods: list
+    _attributes: list
+
+    def get_methods(self):
+        return list(self._methods)
+
+    def get_attributes(self):
+        return list(self._attributes)
+
+    def attribute_dict(self):
+        return {name: getattr(self, name) for name in self._attributes}
+
+
+class PQMFWrapper(_RegistryMixin):
+    """Plain analysis/synthesis wrapper (reference PQMFWrapper.py:17-92).
+
+    Methods: ``forward`` (mono -> n_band sub-bands), ``inverse``,
+    ``process`` (-> (reconstructed, subbands), matching the reference's
+    actual return order — its docstring says the opposite, SURVEY §2.5-5).
+    """
+
+    def __init__(self, attenuation: int = 100, n_band: int = 16,
+                 m_buffer_size: int = 512, precision: str = "highest"):
+        self.n_band = n_band
+        self.attenuation = attenuation
+        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision)
+        self._methods = ["forward", "inverse", "process"]
+        self._attributes = [
+            "n_band", "attenuation",
+            "forward_in_ch", "forward_out_ch",
+            "inverse_in_ch", "inverse_out_ch",
+            "process_in_ch", "process_out_ch",
+            "m_buffer_size", "max_buffer_size",
+        ]
+        self.forward_in_ch = 1
+        self.forward_out_ch = 1
+        self.inverse_in_ch = 1
+        self.inverse_out_ch = 2
+        self.process_in_ch = 1
+        self.process_out_ch = 2
+        self.m_buffer_size = m_buffer_size
+        self.max_buffer_size = 16384
+
+    def forward(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        if not (x.ndim == 3 and x.shape[1] == 1):
+            raise ValueError(
+                "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        return self.pqmf.forward(x)
+
+    def inverse(self, x):
+        x = jnp.asarray(x)
+        if not (x.ndim == 3 and x.shape[1] == self.n_band):
+            raise ValueError(
+                f"input must be [batch, {self.n_band}, T'] or "
+                f"[1, {self.n_band}, T']")
+        return self.pqmf.inverse(x)
+
+    def process(self, x):
+        subbands = self.forward(x)
+        reconstructed = self.inverse(subbands)
+        return reconstructed, subbands
+
+    __call__ = forward
+
+
+class PQMFPitchShiftWrapper(_RegistryMixin):
+    """Flagship: per-band phase-vocoder pitch shift with cross-block
+    crossfade (reference 1-PitchShifterWrapper.py:104-323).
+
+    Pure API: ``init_state()`` then ``pitchshift_fn(state, x) ->
+    (state', y)`` — one fused jitted program. Stateful facade:
+    ``pitchshift(x)`` carries state internally like the reference module.
+    """
+
+    def __init__(self, attenuation: int = 100, n_band: int = 16,
+                 m_buffer_size: int = 8192, sample_rate: int = 44100,
+                 shifts_in_semitones=None, precision: str = "highest"):
+        self.n_band = n_band
+        self.attenuation = attenuation
+        self.sample_rate = sample_rate
+        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision)
+
+        self._methods = ["forward", "pitchshift"]
+        self._attributes = [
+            "n_band", "attenuation",
+            "forward_in_ch", "forward_out_ch",
+            "pitchshift_in_ch", "pitchshift_out_ch",
+            "m_buffer_size", "max_buffer_size",
+        ]
+        self.forward_in_ch = 1
+        self.forward_out_ch = 1
+        self.pitchshift_in_ch = 1
+        self.pitchshift_out_ch = 1
+        self.m_buffer_size = m_buffer_size
+        self.max_buffer_size = 16384
+
+        if shifts_in_semitones is None:
+            self.shifts = list(range(n_band))  # chromatic default (:131)
+        else:
+            self.shifts = list(shifts_in_semitones)
+        assert len(self.shifts) == n_band, (
+            f"expected {n_band} shifts, got {len(self.shifts)}")
+
+        self.win, self.hop, self.n_fft, self.band_overlap = (
+            derive_stft_geometry(m_buffer_size, n_band))
+
+        # per-band rates from static integer semitone shifts (:159-161)
+        n_steps = [int(round(float(s))) for s in self.shifts]
+        rates = [1.0 / (2.0 ** (s / 12.0)) for s in n_steps]
+        self._rates = jnp.asarray(rates, jnp.float32)
+        self._rates_py = rates
+        self.Tb = m_buffer_size // n_band
+        self._plans = {}
+
+        L = self.band_overlap
+        if L > 0:
+            full = np.asarray(S.hann_window(2 * L))
+            self._fade_out = jnp.asarray(full[:L])
+            self._fade_in = jnp.asarray(full[L:])
+        else:
+            self._fade_out = jnp.zeros((0,), jnp.float32)
+            self._fade_in = jnp.zeros((0,), jnp.float32)
+        self._state = self.init_state()
+
+    # -- pure functional API -------------------------------------------------
+
+    def init_state(self):
+        """Crossfade state pytree: per-band previous tail
+        (reference buffers :172-180)."""
+        return {"prev_tail": jnp.zeros((self.n_band, self.band_overlap),
+                                       jnp.float32)}
+
+    def decompose(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        if not (x.ndim == 3 and x.shape[1] == 1):
+            raise ValueError(
+                "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        return self.pqmf.forward(x)
+
+    def inverse(self, x):
+        x = jnp.asarray(x)
+        if not (x.ndim == 3 and x.shape[1] == self.n_band):
+            raise ValueError(
+                f"input must be [batch, {self.n_band}, T']")
+        return self.pqmf.inverse(x)
+
+    def _plan(self, Tb: int):
+        """Static stretch plan for a given band length: the reference
+        derives frame counts from each call's actual input length
+        (PhaseVocoderPitchShift pads short inputs to n_fft), so blocks
+        shorter than m_buffer_size (e.g. the 4096-sample windows of the
+        block harness) get their own specialization."""
+        plan = self._plans.get(Tb)
+        if plan is None:
+            Tp = max(Tb, self.n_fft)
+            frames = S.frame_count(Tp, self.n_fft, self.hop)
+            fo = [max(1, int(math.floor(frames / r)))
+                  for r in self._rates_py]
+            # numpy (not jnp): this cache outlives any trace context, and a
+            # jnp constant created during jax.export tracing would be a
+            # leaked tracer (UnexpectedTracerError on reuse).
+            plan = (np.asarray(fo, np.int32), max(fo))
+            self._plans[Tb] = plan
+        return plan
+
+    def pitchshift_fn(self, state, x):
+        """(state, x [1,T] | [B,1,T]) -> (state', y [B, T])."""
+        sub = self.decompose(x)  # [B, M, Tb]
+        B, _, Tb = sub.shape
+        frames_out, FO_max = self._plan(Tb)
+        shifted, new_tail = _fused_band_pitchshift(
+            sub, self._rates, frames_out, state["prev_tail"],
+            self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
+            Tb, FO_max, crossfade=(B == 1))
+        y = self.inverse(shifted)  # [B, 1, T]
+        return {"prev_tail": new_tail}, y[:, 0, :]
+
+    def forward_fn(self, x):
+        """Pure round-trip (reference ``forward``, :303-316) -> [B, T]."""
+        y = self.inverse(self.decompose(x))
+        return y[:, 0, :]
+
+    # -- stateful facade (reference-style implicit buffers) ------------------
+
+    def reset(self):
+        self._state = self.init_state()
+
+    def pitchshift(self, x):
+        self._state, y = self.pitchshift_fn(self._state, x)
+        return y
+
+    processing = pitchshift
+
+    def forward(self, x):
+        return self.forward_fn(x)
+
+    __call__ = forward
+
+
+class PQMFPitchShiftWrapperTA(_RegistryMixin):
+    """torchaudio-variant wrapper (reference PQMFPsWrapper.py:31-150):
+    per-band ``TorchaudioPitchShift`` at the sub-band sample rate
+    ``round(sr / n_band)``, center crop / pad back, reconstruct."""
+
+    def __init__(self, attenuation: int = 100, n_band: int = 16,
+                 m_buffer_size: int = 512, sample_rate: int = 44100,
+                 shifts_in_semitones=None, precision: str = "highest"):
+        self.n_band = n_band
+        self.attenuation = attenuation
+        self.sample_rate = sample_rate
+        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision)
+
+        self._methods = ["forward", "inverse", "pitchshifter"]
+        self._attributes = [
+            "n_band", "attenuation",
+            "forward_in_ch", "forward_out_ch",
+            "inverse_in_ch", "inverse_out_ch",
+            "pitchshifter_in_ch", "pitchshifter_out_ch",
+            "m_buffer_size", "max_buffer_size",
+        ]
+        self.forward_in_ch = 1
+        self.forward_out_ch = 1
+        self.inverse_in_ch = 1
+        self.inverse_out_ch = 1
+        self.pitchshifter_in_ch = 1
+        self.pitchshifter_out_ch = 2
+        self.m_buffer_size = m_buffer_size
+        self.max_buffer_size = 8192
+
+        sub_sr = int(round(float(sample_rate) / float(max(1, n_band))))
+        self.sub_band_sample_rate = sub_sr
+        if shifts_in_semitones is None:
+            self.shifts = list(range(n_band))
+        else:
+            self.shifts = list(shifts_in_semitones)
+        self.pitch_shifters = [
+            TorchaudioPitchShift(sub_sr, int(round(float(s))))
+            for s in self.shifts
+        ]
+
+    def forward(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        if not (x.ndim == 3 and x.shape[1] == 1):
+            raise ValueError(
+                "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        return self.pqmf.forward(x)
+
+    def inverse(self, x):
+        x = jnp.asarray(x)
+        if not (x.ndim == 3 and x.shape[1] == self.n_band):
+            raise ValueError(f"input must be [batch, {self.n_band}, T']")
+        return self.pqmf.inverse(x)
+
+    def pitchshifter(self, x):
+        subbands = self.forward(x)  # [B, M, Tb]
+        target = subbands.shape[-1]
+        out = []
+        for i in range(self.n_band):
+            band = subbands[:, i, :]
+            shifted = self.pitch_shifters[i](band)[:, None, :]
+            cur = shifted.shape[-1]
+            if cur > target:
+                start = (cur - target) // 2
+                shifted = shifted[..., start:start + target]
+            elif cur < target:
+                pad = target - cur
+                left = pad // 2
+                # reference pads with reflect here (PQMFPsWrapper.py:142)
+                shifted = jnp.pad(shifted,
+                                  ((0, 0), (0, 0), (left, pad - left)),
+                                  mode="reflect")
+            out.append(shifted)
+        shifted_subbands = jnp.concatenate(out, axis=1)
+        return self.inverse(shifted_subbands)
+
+    __call__ = forward

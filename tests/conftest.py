@@ -1,13 +1,17 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
-Per the build plan, multi-chip sharding is validated on a virtual CPU mesh
-(`--xla_force_host_platform_device_count=8`); the real TPU chip is reserved
-for `bench.py` / `__graft_entry__.py`.
+The session environment pre-sets JAX_PLATFORMS=axon (the real TPU chip) and
+pre-imports jax at interpreter startup, so mutating os.environ here is too
+late for the platform choice — use jax.config instead (the backend is not
+initialized until first use). XLA_FLAGS is still read at backend init, so
+the virtual device count can be injected via the environment.
+
+Tests run on the virtual CPU mesh; the real TPU chip is reserved for
+`bench.py` / `__graft_entry__.py`.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_report_header(config):
+    return f"jax devices: {jax.devices()}"

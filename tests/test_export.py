@@ -1,0 +1,79 @@
+"""Export/artifact tests — the TorchScript-serialization analog
+(reference PQMFWrapper.py:102-108, 1-PitchShifterWrapper.py:337-343)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pqmf_tpu.export import load_artifact, load_stablehlo, save_artifact
+from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, PQMFWrapper
+
+SHIFTS = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+
+
+def test_pqmf_wrapper_artifact_roundtrip(tmp_path):
+    w = PQMFWrapper(100, 16, 8192)
+    path = save_artifact(w, str(tmp_path / "pqmf"))
+    loaded, manifest = load_artifact(path)
+
+    assert manifest["kind"] == "PQMFWrapper"
+    assert manifest["methods"] == ["forward", "inverse", "process"]
+    assert manifest["attribute_values"]["m_buffer_size"] == 8192
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 8192)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(w.forward(x)),
+                                  np.asarray(loaded.forward(x)))
+
+
+def test_pvoc_artifact_roundtrip_with_state(tmp_path):
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    y1 = w.pitchshift(x)  # advances internal crossfade state
+
+    path = save_artifact(w, str(tmp_path / "pvoc"))
+    loaded, manifest = load_artifact(path)
+
+    assert manifest["config"]["shifts_in_semitones"] == SHIFTS
+    assert manifest["state_spec"] == {"prev_tail": [16, 128]}
+    # resumed state: next block matches exactly
+    x2 = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    np.testing.assert_allclose(np.asarray(w.pitchshift(x2)),
+                               np.asarray(loaded.pitchshift(x2)), atol=1e-6)
+
+
+def test_artifact_weights_identical(tmp_path):
+    """Loading must NOT re-run the design chain differently: weights are
+    bit-identical."""
+    w = PQMFPitchShiftWrapper(100, 8, 4096, 44100, [0] * 8)
+    path = save_artifact(w, str(tmp_path / "a"))
+    loaded, _ = load_artifact(path)
+    np.testing.assert_array_equal(np.asarray(w.pqmf.params["hk"]),
+                                  np.asarray(loaded.pqmf.params["hk"]))
+    np.testing.assert_array_equal(np.asarray(w.pqmf.hkf),
+                                  np.asarray(loaded.pqmf.hkf))
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    w = PQMFPitchShiftWrapper(100, 8, 1024, 44100, [0, -12, -24, 0, -12,
+                                                    -24, 0, -12])
+    path = save_artifact(w, str(tmp_path / "hlo"), with_stablehlo=True)
+    manifest = json.load(open(os.path.join(path, "manifest.json")))
+    if "stablehlo" not in manifest:
+        pytest.skip(f"jax.export unavailable: "
+                    f"{manifest.get('stablehlo_error')}")
+    fn = load_stablehlo(path)
+    assert fn is not None
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 1024)).astype(np.float32) * 0.3
+    tail0 = jnp.zeros((8, w.band_overlap), jnp.float32)
+    tail1, y = fn(tail0, jnp.asarray(x))
+    state, y_ref = w.pitchshift_fn({"prev_tail": tail0}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tail1),
+                               np.asarray(state["prev_tail"]), atol=1e-5)

@@ -1,0 +1,255 @@
+"""L3b pipeline tests: the fused per-band pitch-shift program vs a torch
+oracle composing the reference's op chain (CachedPQMF centered convs +
+per-band pvoc + crossfade), plus protocol/registry checks."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from pqmf_tpu.ops import filterbank as fb
+from pqmf_tpu.pipelines import (
+    PQMFPitchShiftWrapper,
+    PQMFPitchShiftWrapperTA,
+    PQMFWrapper,
+    derive_stft_geometry,
+)
+
+from oracles import snr_db
+from test_shifters import torch_pvoc_pitchshift
+
+# stable shift set (avoids the +12/+7 wrap-chaotic parity cases analyzed in
+# test_shifters; the pipeline itself handles any shifts)
+SHIFTS = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+
+
+def torch_cached_analysis(x, hk):
+    """CachedPQMF.forward oracle (pqmf.py:339-343): centered strided conv
+    + reverse_half."""
+    hkf = torch.from_numpy(np.array(hk, np.float32))
+    if hkf.shape[-1] % 2 == 0:
+        hkf = F.pad(hkf, (0, 1))
+    hkf = hkf.unsqueeze(1)  # [M, 1, K]
+    M, _, K = hkf.shape
+    total = K - M
+    xt = F.pad(torch.from_numpy(np.array(x, np.float32)),
+               (total // 2, total - total // 2))
+    y = F.conv1d(xt, hkf, stride=M)
+    mask = torch.ones_like(y)
+    mask[..., 1::2, ::2] = -1
+    return (y * mask).numpy()
+
+
+def torch_cached_synthesis(x, hk):
+    """CachedPQMF.inverse oracle (pqmf.py:345-354)."""
+    hkt = torch.from_numpy(np.array(hk, np.float32))
+    M = hkt.shape[0]
+    hki = hkt.flip(-1).reshape(M, -1, M).permute(2, 0, 1)  # m c t
+    if hki.shape[-1] % 2 == 0:
+        hki = F.pad(hki, (0, 1))
+    K = hki.shape[-1]
+    total = K - 1
+    xt = torch.from_numpy(np.array(x, np.float32))
+    mask = torch.ones_like(xt)
+    mask[..., 1::2, ::2] = -1
+    xt = xt * mask
+    xt = F.pad(xt, (total // 2, total - total // 2))
+    y = F.conv1d(xt, hki) * M
+    y = y.flip(1)
+    y = y.permute(0, 2, 1)
+    y = y.reshape(y.shape[0], y.shape[1], -1, M).permute(0, 2, 1, 3)
+    return y.reshape(y.shape[0], y.shape[1], -1).numpy()
+
+
+def torch_flagship_pitchshift(x, hk, shifts, m_buffer_size, prev_tail):
+    """Full reference pitchshift oracle (1-PitchShifterWrapper.py:222-301)
+    composed from the documented op chain. Returns (y, new_tail)."""
+    n_band = hk.shape[0]
+    win, hop, n_fft, L = derive_stft_geometry(m_buffer_size, n_band)
+    sub = torch_cached_analysis(x, hk)  # [B, M, Tb]
+    B, M, Tb = sub.shape
+    fade = torch.hann_window(2 * L).numpy()
+    fade_out, fade_in = fade[:L], fade[L:]
+    new_tail = prev_tail.copy()
+    bands = []
+    for i in range(M):
+        shifted = torch_pvoc_pitchshift(sub[:, i, :],
+                                        int(round(float(shifts[i]))),
+                                        n_fft, hop, win)  # [B, Tb]
+        if L > 0 and B == 1 and shifted.shape[-1] >= L:
+            suffix = shifted[0, -L:].copy()
+            blended = prev_tail[i] * fade_out + shifted[0, :L] * fade_in
+            shifted = shifted.copy()
+            shifted[0, :L] = blended
+            new_tail[i] = suffix
+        bands.append(shifted[:, None, :])
+    cat = np.concatenate(bands, axis=1)
+    y = torch_cached_synthesis(cat, hk)
+    return y[:, 0, :], new_tail
+
+
+@pytest.fixture(scope="module")
+def wrapper():
+    return PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
+
+
+def test_derived_geometry_matches_reference_defaults():
+    # BASELINE.md: buffer 8192, M=16 -> win 512, hop 128, n_fft 512, ovl 128
+    assert derive_stft_geometry(8192, 16) == (512, 128, 512, 128)
+    assert derive_stft_geometry(512, 16) == (32, 8, 32, 8)
+
+
+def test_registry_protocol(wrapper):
+    assert wrapper.get_methods() == ["forward", "pitchshift"]
+    attrs = wrapper.attribute_dict()
+    assert attrs["m_buffer_size"] == 8192
+    assert attrs["max_buffer_size"] == 16384
+    assert attrs["pitchshift_in_ch"] == 1
+
+
+def test_forward_roundtrip(wrapper):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    y = np.asarray(wrapper.forward(x))
+    assert y.shape == (1, 8192)
+    hk = np.asarray(wrapper.pqmf.params["hk"])
+    want = torch_cached_synthesis(
+        torch_cached_analysis(x[None], hk), hk)[:, 0, :]
+    assert snr_db(want, y) > 90
+
+
+def test_fused_pitchshift_matches_reference_chain(wrapper):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    hk = np.asarray(wrapper.pqmf.params["hk"])
+    prev = np.zeros((16, wrapper.band_overlap), np.float32)
+
+    state = wrapper.init_state()
+    state, got = wrapper.pitchshift_fn(state, x)
+    want, want_tail = torch_flagship_pitchshift(x[None], hk, SHIFTS, 8192,
+                                                prev)
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    s = snr_db(want, got)
+    assert s > 90, f"fused pitchshift parity SNR {s} dB"
+    s_tail = snr_db(want_tail, np.asarray(state["prev_tail"]))
+    assert s_tail > 90, f"tail state parity SNR {s_tail} dB"
+
+
+def test_fused_pitchshift_crossfade_across_blocks(wrapper):
+    """Second block must blend against the first block's stored tail."""
+    rng = np.random.default_rng(2)
+    x1 = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    x2 = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    hk = np.asarray(wrapper.pqmf.params["hk"])
+
+    state = wrapper.init_state()
+    state, y1 = wrapper.pitchshift_fn(state, x1)
+    state, y2 = wrapper.pitchshift_fn(state, x2)
+
+    prev = np.zeros((16, wrapper.band_overlap), np.float32)
+    w1, tail1 = torch_flagship_pitchshift(x1[None], hk, SHIFTS, 8192, prev)
+    w2, tail2 = torch_flagship_pitchshift(x2[None], hk, SHIFTS, 8192, tail1)
+    assert snr_db(w2, np.asarray(y2)) > 90
+
+
+def test_pitchshift_variable_block_size(wrapper):
+    """Blocks shorter than m_buffer_size (the block harness feeds 4096-
+    sample windows into the 8192-built wrapper) must re-plan frame counts
+    per call length and still match the reference chain."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 4096)).astype(np.float32) * 0.3
+
+    # strict parity needs wrap-stable shifts: for n in {0, -12, -24} the
+    # interpolation weight a is always 0, so the chaotic dp term vanishes.
+    # (At Tb=256 the right-zero-padded band STFTs are full of near-zero
+    # bins with numerically arbitrary atan2 phases; fractional-a shifts
+    # amplify those unstably in ANY float implementation, the reference
+    # included.)
+    stable = [0, -12, -24, 0, -12, -24, 0, -12,
+              -24, 0, -12, -24, 0, -12, -24, 0]
+    w2 = PQMFPitchShiftWrapper(100, 16, 8192, 44100, stable)
+    hk = np.asarray(w2.pqmf.params["hk"])
+    prev = np.zeros((16, w2.band_overlap), np.float32)
+    state = w2.init_state()
+    state, got = w2.pitchshift_fn(state, x)
+    assert np.asarray(got).shape == (1, 4096)
+    # the oracle derives STFT geometry from the construction buffer (8192)
+    # but processes the actual 4096 block, exactly like the reference
+    want, _ = torch_flagship_pitchshift(x[None], hk, stable, 8192, prev)
+    assert snr_db(want, np.asarray(got)) > 85
+
+    # mixed shifts: chaotic bins bound parity lower, but the pipeline must
+    # stay within the measured fp-chaos envelope
+    state = wrapper.init_state()
+    state, got = wrapper.pitchshift_fn(state, x)
+    hk = np.asarray(wrapper.pqmf.params["hk"])
+    prev = np.zeros((16, wrapper.band_overlap), np.float32)
+    want, _ = torch_flagship_pitchshift(x[None], hk, SHIFTS, 8192, prev)
+    assert snr_db(want, np.asarray(got)) > 25
+
+
+def test_pitchshift_batch_gt1_skips_crossfade(wrapper):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 1, 8192)).astype(np.float32) * 0.3
+    state = wrapper.init_state()
+    state2, y = wrapper.pitchshift_fn(state, x)
+    assert np.asarray(y).shape == (3, 8192)
+    # state untouched for batch > 1 (reference guard :262)
+    np.testing.assert_array_equal(np.asarray(state2["prev_tail"]),
+                                  np.asarray(state["prev_tail"]))
+
+
+def test_stateful_facade_matches_pure_api():
+    w1 = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
+    w2 = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
+    rng = np.random.default_rng(4)
+    xs = [rng.standard_normal((1, 8192)).astype(np.float32) for _ in range(2)]
+    state = w1.init_state()
+    for x in xs:
+        state, y_pure = w1.pitchshift_fn(state, x)
+        y_facade = w2.pitchshift(x)
+        np.testing.assert_allclose(np.asarray(y_pure), np.asarray(y_facade),
+                                   atol=1e-6)
+
+
+def test_pqmf_wrapper_process_order():
+    """process returns (reconstructed, subbands) — the reference's actual
+    behavior (PQMFWrapper.py:92), not its docstring."""
+    w = PQMFWrapper(100, 16, 8192)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 8192)).astype(np.float32)
+    recon, sub = w.process(x)
+    assert recon.shape == (1, 1, 8192)
+    assert sub.shape == (1, 16, 512)
+    assert w.get_methods() == ["forward", "inverse", "process"]
+
+
+def test_pqmf_wrapper_input_validation():
+    w = PQMFWrapper(100, 16, 512)
+    with pytest.raises(ValueError):
+        w.forward(np.zeros((1, 2, 512), np.float32))
+    with pytest.raises(ValueError):
+        w.inverse(np.zeros((1, 8, 32), np.float32))
+
+
+def test_ta_wrapper_identity_shifts_reconstruct():
+    """All-zero shifts: TA pitchshifter reduces to a round-trip."""
+    w = PQMFPitchShiftWrapperTA(100, 8, 1024, 44100, [0] * 8)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 1024)).astype(np.float32) * 0.3
+    y = np.asarray(w.pitchshifter(x))
+    want = np.asarray(w.inverse(w.forward(x)))
+    np.testing.assert_allclose(y, want, atol=1e-5)
+    assert w.sub_band_sample_rate == round(44100 / 8)
+
+
+def test_ta_wrapper_runs_with_chromatic_default():
+    w = PQMFPitchShiftWrapperTA(100, 4, 2048, 44100)
+    assert w.shifts == [0, 1, 2, 3]
+    x = np.random.default_rng(7).standard_normal((1, 2048)).astype(np.float32)
+    y = np.asarray(w.pitchshifter(x))
+    assert y.shape == (1, 1, 2048)
+    assert np.isfinite(y).all()
