@@ -1,0 +1,120 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: real-time factor (RTF) of the default-config 16-band
+PQMF analysis+synthesis round trip (attenuation=100, polyphase), the
+reference's core hot path (pqmf.py:115-157). RTF = seconds of 44.1 kHz
+audio processed per wall-clock second on one chip.
+
+vs_baseline: our RTF divided by the PyTorch-CPU RTF of the same polyphase
+round trip (measured inline with the torch oracle from tests/oracles.py —
+the reference publishes no numbers, BASELINE.md, so its own compute path
+on CPU torch is the comparison floor).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+SR = 44100
+SECONDS = 60.0
+N_BAND = 16
+ATTEN = 100
+REPEATS = 5
+
+
+def _signal(n):
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=np.float32) / SR
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.1 * rng.standard_normal(n).astype(np.float32))
+    return x
+
+
+def bench_jax(x, chain=50):
+    """Times `chain` back-to-back roundtrips inside ONE jitted program
+    (lax.fori_loop) and divides: this measures on-chip throughput. A
+    single dispatched call would instead measure the host<->device
+    round-trip latency floor (~25 ms through the axon tunnel), which is
+    3 orders of magnitude above the kernel time."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqmf_tpu import PQMF
+
+    pq = PQMF(ATTEN, N_BAND)
+
+    @jax.jit
+    def roundtrip(v):
+        return pq.inverse(pq.forward(v))
+
+    @jax.jit
+    def chained(v):
+        return jax.lax.fori_loop(0, chain, lambda i, u: roundtrip(u), v)
+
+    xb = jnp.asarray(x)[None, None, :]
+    y = jax.block_until_ready(roundtrip(xb))
+    float(chained(xb).sum())  # compile + sync
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(chained(xb).sum())
+        best = min(best, time.perf_counter() - t0)
+    per_call = best / chain
+    snr = 10 * np.log10(float(np.sum(x ** 2))
+                        / float(np.sum((np.asarray(y)[0, 0] - x) ** 2)))
+    return (len(x) / SR) / per_call, snr, jax.devices()[0].platform
+
+
+def bench_torch(x):
+    sys.path.insert(0, "tests")
+    from oracles import torch_polyphase_forward, torch_polyphase_inverse
+
+    from pqmf_tpu.ops.filterbank import build_filterbank, reverse_half
+
+    hk = np.asarray(build_filterbank(ATTEN, N_BAND)["hk"])
+    xb = x[None, None, :]
+
+    def roundtrip(v):
+        s = np.asarray(reverse_half(torch_polyphase_forward(v, hk)))
+        return torch_polyphase_inverse(np.asarray(reverse_half(s)), hk)
+
+    roundtrip(xb)  # warm up
+    best = float("inf")
+    for _ in range(max(2, REPEATS // 2)):
+        t0 = time.perf_counter()
+        roundtrip(xb)
+        best = min(best, time.perf_counter() - t0)
+    return (len(x) / SR) / best
+
+
+def main():
+    n = int(SECONDS * SR) // N_BAND * N_BAND
+    x = _signal(n)
+    rtf, snr, platform = bench_jax(x)
+    try:
+        rtf_ref = bench_torch(x)
+    except Exception:
+        rtf_ref = None
+    vs = (rtf / rtf_ref) if rtf_ref else 1.0
+    print(json.dumps({
+        "metric": "pqmf_roundtrip_rtf",
+        "value": round(rtf, 1),
+        "unit": "x_realtime_44k1",
+        "vs_baseline": round(vs, 2),
+        "extra": {
+            "platform": platform,
+            "roundtrip_snr_db": round(snr, 2),
+            "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
+            "seconds_of_audio": SECONDS,
+            "n_band": N_BAND,
+            "attenuation": ATTEN,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

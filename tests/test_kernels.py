@@ -1,0 +1,66 @@
+"""Pallas kernel equality vs the lax polyphase path (SURVEY.md §4
+"real-vs-interpret TPU kernel tests" — on CPU these run the Mosaic
+interpreter; on TPU the native kernels)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pqmf_tpu import PQMF
+from pqmf_tpu.kernels import polyphase_analysis, polyphase_synthesis
+from pqmf_tpu.ops import filterbank as fb
+
+
+@pytest.mark.parametrize("n_band", [8, 16, 32])
+@pytest.mark.parametrize("t_sub", [128, 1000, 37])
+def test_analysis_matches_lax(n_band, t_sub):
+    p = fb.build_filterbank(100, n_band)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((2, 1, n_band * t_sub)).astype(np.float32))
+    ref = fb.reverse_half(fb.polyphase_forward(x, p["hk_poly"]))
+    got = polyphase_analysis(x, p["hk_poly"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_band", [8, 16, 32])
+@pytest.mark.parametrize("t_sub", [128, 1000, 37])
+def test_synthesis_matches_lax(n_band, t_sub):
+    p = fb.build_filterbank(100, n_band)
+    rng = np.random.default_rng(1)
+    s = jnp.asarray(
+        rng.standard_normal((2, n_band, t_sub)).astype(np.float32))
+    ref = fb.polyphase_inverse(fb.reverse_half(s), p["hk_ipoly"])
+    got = polyphase_synthesis(s, p["hk_ipoly"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pqmf_pallas_flag_roundtrip():
+    """PQMF(use_pallas=True) matches the lax PQMF end-to-end."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 1, 16 * 512)).astype(np.float32)
+    ref = PQMF(100, 16, use_pallas=False)
+    pal = PQMF(100, 16, use_pallas=True)
+    sub_ref, sub_pal = ref.forward(x), pal.forward(x)
+    np.testing.assert_allclose(np.asarray(sub_pal), np.asarray(sub_ref),
+                               atol=2e-5, rtol=1e-4)
+    y_ref, y_pal = ref.inverse(sub_ref), pal.inverse(sub_ref)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_unsupported_band_count_falls_back():
+    """n_band=4 is below the sublane-alignment constraint: auto mode must
+    select the lax path (and still reconstruct)."""
+    pq = PQMF(100, 4, use_pallas="auto")
+    assert pq.use_pallas in (False,) if not __import__(
+        "pqmf_tpu.kernels.polyphase", fromlist=["supports"]).supports(4) \
+        else (True, False)
+    x = np.random.default_rng(3).standard_normal((1, 1, 4 * 256)).astype(
+        np.float32)
+    y = pq.inverse(pq.forward(x))
+    assert y.shape == (1, 1, 4 * 256)
