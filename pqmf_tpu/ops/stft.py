@@ -90,9 +90,7 @@ def stft(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
     frames = 1 + (Tp - n_fft) // hop_length
     w = _padded_window(window, n_fft).astype(x.dtype)
 
-    idx = (np.arange(frames)[:, None] * hop_length
-           + np.arange(n_fft)[None, :])  # [frames, n_fft]
-    framed = x[:, idx] * w  # [B, frames, n_fft]
+    framed = _frame_signal(x, n_fft, hop_length, frames) * w
     spec = jnp.fft.rfft(framed, axis=-1)  # [B, frames, F]
     if normalized:
         spec = spec * (1.0 / np.sqrt(n_fft))
@@ -154,13 +152,8 @@ def _istft_parts(spec, n_fft, hop_length, window, normalized=True,
         y_f = y_f * frame_mask[None, :, None]
         wsq_f = wsq_f * frame_mask[:, None]
 
-    total = n_fft + (frames - 1) * hop_length
-    idx = (np.arange(frames)[:, None] * hop_length
-           + np.arange(n_fft)[None, :]).reshape(-1)  # [frames*n_fft]
-    y = jnp.zeros((B, total), y_f.dtype).at[:, idx].add(
-        y_f.reshape(B, -1), mode="drop")
-    wsq = jnp.zeros((total,), y_f.dtype).at[idx].add(
-        wsq_f.reshape(-1), mode="drop")
+    y = _ola(y_f, n_fft, hop_length)
+    wsq = _ola(wsq_f, n_fft, hop_length)
     return y, wsq
 
 
@@ -209,6 +202,50 @@ def idft_basis(n_fft: int, dtype=jnp.float32):
     return jnp.asarray(ci, dtype), jnp.asarray(si, dtype)
 
 
+def _frame_signal(x: jax.Array, n_fft: int, hop: int, frames: int):
+    """[B, Tp] -> [B, frames, n_fft] sliding windows.
+
+    When hop divides n_fft this is ``ratio`` static slices of a free
+    reshape (TPU-friendly: no gather); otherwise a gather.
+    """
+    B = x.shape[0]
+    if n_fft % hop == 0:
+        ratio = n_fft // hop
+        rows = frames + ratio - 1
+        need = rows * hop
+        if x.shape[-1] < need:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+        xr = x[:, :need].reshape(B, rows, hop)
+        parts = [xr[:, j:j + frames, :] for j in range(ratio)]
+        return jnp.concatenate(parts, axis=-1)  # [B, frames, ratio*hop]
+    idx = (np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :])
+    return x[:, idx]
+
+
+def _ola(y_f: jax.Array, n_fft: int, hop: int):
+    """[..., frames, n_fft] -> [..., n_fft + (frames-1)*hop] overlap-add.
+
+    When hop divides n_fft: ``ratio`` shifted pads of a reshape summed —
+    no scatter (TPU scatters serialize). Fallback: scatter-add.
+    """
+    frames = y_f.shape[-2]
+    lead = y_f.shape[:-2]
+    if n_fft % hop == 0:
+        ratio = n_fft // hop
+        rows = frames + ratio - 1
+        yc = y_f.reshape(*lead, frames, ratio, hop)
+        acc = jnp.zeros((*lead, rows, hop), y_f.dtype)
+        for j in range(ratio):
+            acc = acc.at[..., j:j + frames, :].add(yc[..., :, j, :])
+        return acc.reshape(*lead, rows * hop)
+    total = n_fft + (frames - 1) * hop
+    idx = (np.arange(frames)[:, None] * hop
+           + np.arange(n_fft)[None, :]).reshape(-1)
+    flat = y_f.reshape(*lead, frames * n_fft)
+    return jnp.zeros((*lead, total), y_f.dtype).at[..., idx].add(
+        flat, mode="drop")
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
                                    "normalized", "pad_mode"))
 def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
@@ -228,9 +265,7 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
     frames = 1 + (Tp - n_fft) // hop_length
     w = _padded_window(window, n_fft).astype(x.dtype)
 
-    idx = (np.arange(frames)[:, None] * hop_length
-           + np.arange(n_fft)[None, :])
-    framed = x[:, idx] * w  # [B, frames, n_fft]
+    framed = _frame_signal(x, n_fft, hop_length, frames) * w  # [B,frames,n_fft]
     C, S = dft_basis(n_fft, x.dtype)
     hp = jax.lax.Precision.HIGHEST
     re = jnp.einsum("bfn,nk->bkf", framed, C, precision=hp)
@@ -261,13 +296,8 @@ def istft_ri_parts(re, im, n_fft, hop_length, window, normalized=True,
         y_f = y_f * frame_mask[None, :, None]
         wsq_f = wsq_f * frame_mask[:, None]
 
-    total = n_fft + (frames - 1) * hop_length
-    idx = (np.arange(frames)[:, None] * hop_length
-           + np.arange(n_fft)[None, :]).reshape(-1)
-    y = jnp.zeros((B, total), y_f.dtype).at[:, idx].add(
-        y_f.reshape(B, -1), mode="drop")
-    wsq = jnp.zeros((total,), y_f.dtype).at[idx].add(
-        wsq_f.reshape(-1), mode="drop")
+    y = _ola(y_f, n_fft, hop_length)
+    wsq = _ola(wsq_f, n_fft, hop_length)
     return y, wsq
 
 

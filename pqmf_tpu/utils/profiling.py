@@ -1,0 +1,61 @@
+"""Profiling / timing utilities (SURVEY.md §5: the reference's only
+instrumentation is ad-hoc prints — here: jax.profiler traces + honest
+on-chip timing helpers).
+
+The axon development setup reaches the chip through a network tunnel with
+a ~25 ms per-dispatch round trip, so naive per-call timing measures the
+host link, not the kernel. :func:`chained_ms` times ``n`` back-to-back
+applications inside one jitted ``lax.fori_loop`` and divides — the number
+a pipelined production server would see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+__all__ = ["trace", "chained_ms", "dispatch_floor_ms"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context; view with TensorBoard/XProf."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def dispatch_floor_ms(repeats: int = 10) -> float:
+    """Per-dispatch host<->device round-trip latency (the floor every
+    single-call measurement sits on)."""
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda v: v + 1.0)
+    x = jnp.ones((8, 128))
+    float(tiny(x).sum())
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        float(tiny(x).sum())
+    return (time.perf_counter() - t0) / repeats * 1e3
+
+
+def chained_ms(fn, x, n: int = 50, repeats: int = 3) -> float:
+    """Milliseconds per application of shape-preserving ``fn``, measured
+    as ``n`` chained applications inside one jitted program (minus the
+    dispatch floor)."""
+    @jax.jit
+    def run(v):
+        return jax.lax.fori_loop(0, n, lambda i, u: fn(u), v)
+
+    float(run(x).sum())  # compile + sync
+    floor = dispatch_floor_ms() / 1e3
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(x).sum())
+        best = min(best, time.perf_counter() - t0)
+    return max(best - floor, 0.0) / n * 1e3

@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh (conftest sets
+XLA_FORCE_HOST_PLATFORM_DEVICE_COUNT=8): the latent parallel axes of
+SURVEY.md §2.4 made real — data (batch) and band (per-band shifters)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pqmf_tpu.parallel.sharding import ShardedPitchShift, make_mesh
+from pqmf_tpu.parallel.training import TrainablePQMF, make_train_step
+from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, n_band=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 2, "band": 4}
+    mesh2 = make_mesh(8, n_band=16)
+    assert dict(zip(mesh2.axis_names, mesh2.devices.shape)) == {
+        "data": 1, "band": 8}
+
+
+def test_sharded_pitchshift_matches_unsharded():
+    w = PQMFPitchShiftWrapper(70, 4, m_buffer_size=256)
+    mesh = make_mesh(8, n_band=4)
+    sharded = ShardedPitchShift(w, mesh)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 1, 256)).astype(np.float32) * 0.1)
+    tail = sharded.init_state()
+    tail_s, y_s = sharded(tail, x)
+
+    state, y = w.pitchshift_fn(w.init_state(), x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tail_s),
+                               np.asarray(state["prev_tail"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_train_step_reduces_loss():
+    mesh = make_mesh(8, n_band=4)
+    model = TrainablePQMF(70, 4, mesh=mesh)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (4, 1, 512)).astype(np.float32))
+    losses = [model.train_batch(x) for _ in range(5)]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_grads_match_unsharded():
+    """One sharded step == one single-device step (same update math)."""
+    from pqmf_tpu.ops import filterbank as fb
+
+    hk = jnp.asarray(fb.build_filterbank(70, 4)["hk"])
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 1, 256)).astype(np.float32))
+
+    init_u, step_u = make_train_step()
+    su, loss_u = step_u(init_u(hk), x)
+
+    mesh = make_mesh(8, n_band=4)
+    init_s, step_s = make_train_step(mesh=mesh)
+    ss, loss_s = step_s(init_s(hk), x)
+
+    assert abs(float(loss_u) - float(loss_s)) < 1e-6
+    np.testing.assert_allclose(np.asarray(ss.hk), np.asarray(su.hk),
+                               atol=1e-6, rtol=1e-6)
