@@ -91,6 +91,36 @@ def bench_torch(x):
     return (len(x) / SR) / best
 
 
+def bench_pitchshift(n_blocks=64):
+    """Flagship per-subband phase-vocoder pitch shift: ms per 8192-sample
+    block, measured as a lax.scan over n_blocks blocks (carried crossfade
+    state), one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(ATTEN, N_BAND, 8192, SR)
+    blocks = jnp.asarray(
+        0.1 * np.random.default_rng(0).standard_normal(
+            (n_blocks, 1, 1, 8192)).astype(np.float32))
+
+    @jax.jit
+    def run(state, blocks):
+        return jax.lax.scan(
+            lambda s, b: w.pitchshift_fn(s, b), state, blocks)
+
+    state = w.init_state()
+    float(run(state, blocks)[1].sum())  # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(state, blocks)[1].sum())
+        best = min(best, time.perf_counter() - t0)
+    per_block = (best - 0.025) / n_blocks
+    return (8192 / SR) / per_block
+
+
 def main():
     n = int(SECONDS * SR) // N_BAND * N_BAND
     x = _signal(n)
@@ -99,6 +129,10 @@ def main():
         rtf_ref = bench_torch(x)
     except Exception:
         rtf_ref = None
+    try:
+        rtf_ps = bench_pitchshift()
+    except Exception:
+        rtf_ps = None
     vs = (rtf / rtf_ref) if rtf_ref else 1.0
     print(json.dumps({
         "metric": "pqmf_roundtrip_rtf",
@@ -109,6 +143,7 @@ def main():
             "platform": platform,
             "roundtrip_snr_db": round(snr, 2),
             "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
+            "pitchshift_rtf": round(rtf_ps, 1) if rtf_ps else None,
             "seconds_of_audio": SECONDS,
             "n_band": N_BAND,
             "attenuation": ATTEN,

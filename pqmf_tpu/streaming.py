@@ -86,10 +86,26 @@ def offline_conv(x: jax.Array, w: jax.Array, stride: int = 1,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mode", "precision"))
-def _cached_analysis(x, hkf, state, mode="offline", precision="highest"):
+@partial(jax.jit, static_argnames=("mode", "precision", "use_pallas"))
+def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
+                     use_pallas=False):
     """CachedPQMF.forward (pqmf.py:339-343): strided 1->M conv, sign mask."""
     M = hkf.shape[0]
+    if use_pallas:
+        from pqmf_tpu.kernels import cached_conv as cc
+
+        K = hkf.shape[-1]
+        if mode == "offline":
+            al, ar = centered_padding(K, M)
+            xx = jnp.pad(x, ((0, 0), (0, 0), (al, ar)))
+            new_state = state
+        elif mode == "causal":
+            xx = jnp.pad(x, ((0, 0), (0, 0), (K - M, 0)))
+            new_state = state
+        else:
+            xx = jnp.concatenate([state, x], axis=-1)
+            new_state = xx[..., xx.shape[-1] - (K - M):]
+        return new_state, cc.strided_analysis_conv(xx, hkf, M)
     if mode == "offline":
         y = offline_conv(x, hkf, stride=M, causal=False, precision=precision)
         new_state = state
@@ -102,11 +118,33 @@ def _cached_analysis(x, hkf, state, mode="offline", precision="highest"):
     return new_state, fb.reverse_half(y)
 
 
-@partial(jax.jit, static_argnames=("mode", "precision"))
-def _cached_synthesis(x, hki, state, mode="offline", precision="highest"):
+@partial(jax.jit, static_argnames=("mode", "precision", "use_pallas"))
+def _cached_synthesis(x, hki, state, mode="offline", precision="highest",
+                      use_pallas=False):
     """CachedPQMF.inverse (pqmf.py:345-354): sign mask, M->M conv * M,
     band flip, phase interleave."""
     M = hki.shape[0]
+    if use_pallas:
+        from pqmf_tpu.kernels import cached_conv as cc
+
+        K = hki.shape[-1]
+        if mode == "offline":
+            sl, sr = centered_padding(K, 1)
+            xx = jnp.pad(x, ((0, 0), (0, 0), (sl, sr)))
+            y = cc.dense_synthesis_conv(xx, hki, x_offset=-sl)
+            new_state = state
+        elif mode == "causal":
+            xx = jnp.pad(x, ((0, 0), (0, 0), (K - 1, 0)))
+            y = cc.dense_synthesis_conv(xx, hki, x_offset=-(K - 1))
+            new_state = state
+        else:
+            # block-local sign mask first (the carried tail keeps the
+            # previous block's masked samples, like the lax path)
+            xx = jnp.concatenate([state, fb.reverse_half(x)], axis=-1)
+            new_state = xx[..., xx.shape[-1] - (K - 1):]
+            y = cc.dense_synthesis_conv(xx, hki, fuse_mask=False)
+        B = y.shape[0]
+        return new_state, y.reshape(B, 1, -1)
     x = fb.reverse_half(x)
     if mode == "offline":
         y = offline_conv(x, hki, stride=1, causal=False, precision=precision)
@@ -142,12 +180,17 @@ class StreamingPQMF:
     """
 
     def __init__(self, attenuation: float, n_band: int,
-                 precision: str = "highest"):
+                 precision: str = "highest", use_pallas="auto"):
         power = math.log2(n_band)
         assert power == math.floor(power), "n_band must be a power of 2"
         self.n_band = n_band
         self.attenuation = attenuation
         self.precision = precision
+        if use_pallas == "auto":
+            from pqmf_tpu.kernels import polyphase as _pk
+
+            use_pallas = _pk.pallas_available() and _pk.supports(n_band)
+        self.use_pallas = bool(use_pallas)
 
         params = fb.build_filterbank(attenuation, n_band)
         self.params = params
@@ -183,7 +226,8 @@ class StreamingPQMF:
         if self.n_band == 1:
             return x
         _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="offline",
-                                precision=self.precision)
+                                precision=self.precision,
+                                use_pallas=self.use_pallas)
         return y
 
     def inverse(self, x):
@@ -193,7 +237,8 @@ class StreamingPQMF:
         if self.n_band == 1:
             return x
         _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="offline",
-                                 precision=self.precision)
+                                 precision=self.precision,
+                                 use_pallas=self.use_pallas)
         return y
 
     # -- streaming ----------------------------------------------------------
@@ -208,7 +253,8 @@ class StreamingPQMF:
     def forward_block(self, state: dict, x):
         x = self._norm(x)
         new, y = _cached_analysis(x, self.hkf, state["analysis"],
-                                  mode="streaming", precision=self.precision)
+                                  mode="streaming", precision=self.precision,
+                                  use_pallas=self.use_pallas)
         return {**state, "analysis": new}, y
 
     def inverse_block(self, state: dict, x):
@@ -216,7 +262,8 @@ class StreamingPQMF:
         if x.ndim == 2:
             x = x[None]
         new, y = _cached_synthesis(x, self.hki, state["synthesis"],
-                                   mode="streaming", precision=self.precision)
+                                   mode="streaming", precision=self.precision,
+                                   use_pallas=self.use_pallas)
         return {**state, "synthesis": new}, y
 
     def process_block(self, state: dict, x):
@@ -230,7 +277,8 @@ class StreamingPQMF:
     def forward_causal(self, x):
         x = self._norm(x)
         _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="causal",
-                                precision=self.precision)
+                                precision=self.precision,
+                                use_pallas=self.use_pallas)
         return y
 
     def inverse_causal(self, x):
@@ -238,7 +286,8 @@ class StreamingPQMF:
         if x.ndim == 2:
             x = x[None]
         _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="causal",
-                                 precision=self.precision)
+                                 precision=self.precision,
+                                 use_pallas=self.use_pallas)
         return y
 
     @staticmethod

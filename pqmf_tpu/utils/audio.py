@@ -3,6 +3,9 @@
 Replaces the reference's torchaudio/soundfile loaders
 (VocoderPitchShifter.py:309-344, PQMFWrapper.py:113/134) using the stdlib
 ``wave`` module + NumPy. Supports PCM16/24/32 and IEEE float32 WAVs.
+Sample-format conversion routes through the native C extension
+(``pqmf_tpu/native/wavio.c``) when a C compiler is available, with the
+NumPy path as fallback.
 """
 
 from __future__ import annotations
@@ -45,7 +48,19 @@ def _read_float_wav(path: str):
     return x, n_ch, sr
 
 
+def _native():
+    from pqmf_tpu import native
+
+    return native.get()
+
+
 def _decode_pcm(raw: bytes, bits: int) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        if bits == 16:
+            return np.frombuffer(nat.pcm16_to_f32(raw), dtype=np.float32)
+        if bits == 24:
+            return np.frombuffer(nat.pcm24_to_f32(raw), dtype=np.float32)
     if bits == 16:
         return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     if bits == 32:
@@ -104,8 +119,14 @@ def write_wav(path: str, x: np.ndarray, sr: int, subtype: str = "PCM_16"):
             f.write(struct.pack("<I", data_size))
             f.write(payload)
         return
-    pcm = np.clip(inter, -1.0, 1.0)
-    pcm = (pcm * 32767.0).round().astype("<i2")
+    nat = _native()
+    if nat is not None:
+        pcm = np.frombuffer(
+            nat.f32_to_pcm16(np.ascontiguousarray(inter).tobytes()),
+            dtype="<i2")
+    else:
+        pcm = np.clip(inter, -1.0, 1.0)
+        pcm = (pcm * 32767.0).round().astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(C)
         w.setsampwidth(2)

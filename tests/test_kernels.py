@@ -64,3 +64,36 @@ def test_unsupported_band_count_falls_back():
         np.float32)
     y = pq.inverse(pq.forward(x))
     assert y.shape == (1, 1, 4 * 256)
+
+
+def test_streaming_pqmf_pallas_matches_lax_all_modes():
+    """StreamingPQMF(use_pallas=True) == lax path for offline, causal and
+    block-streaming modes (kernels run interpreted on CPU)."""
+    import jax.numpy as jnp
+
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    rng = np.random.default_rng(4)
+    M, T = 16, 16 * 256
+    x = jnp.asarray(rng.standard_normal((1, 1, T)).astype(np.float32))
+
+    ref = StreamingPQMF(100, M, use_pallas=False)
+    pal = StreamingPQMF(100, M, use_pallas=True)
+
+    for fn in ("forward", "inverse", "forward_causal", "inverse_causal"):
+        arg = x if "forward" in fn else getattr(ref, "forward")(x)
+        a = np.asarray(getattr(ref, fn)(arg))
+        b = np.asarray(getattr(pal, fn)(arg))
+        np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4,
+                                   err_msg=fn)
+
+    # block streaming: 4 blocks, carried state, then a round trip
+    sr_, sp_ = ref.init_state(), pal.init_state()
+    for blk in jnp.split(x, 4, axis=-1):
+        sr_, yr = ref.process_block(sr_, blk)
+        sp_, yp = pal.process_block(sp_, blk)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yr),
+                                   atol=2e-5, rtol=1e-4)
+    for k in sr_:
+        np.testing.assert_allclose(np.asarray(sp_[k]), np.asarray(sr_[k]),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
