@@ -43,6 +43,10 @@ def main(argv=None):
                         "random uniform(-24.75, 12.43) like the reference "
                         "export (1-PitchShifterWrapper.py:331)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="load the wrapper from an exported artifact dir "
+                        "(the reference's --ts flag, 2-TestBlocks.py:44) "
+                        "instead of constructing one")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -66,7 +70,17 @@ def main(argv=None):
         raise ValueError("overlap must be in [0, block-1]")
     hop = args.block - overlap
 
-    if args.shifts is not None:
+    wrapper = None
+    if args.artifact is not None:
+        from pqmf_tpu.export import load_artifact
+
+        wrapper, manifest = load_artifact(args.artifact)
+        wrapper.reset()
+        shifts = list(wrapper.shifts)
+        args.n_band = wrapper.n_band
+        print(f"loaded artifact {args.artifact} "
+              f"(kind={manifest['kind']}, n_band={wrapper.n_band})")
+    elif args.shifts is not None:
         shifts = [float(s) for s in args.shifts.split(",")]
     else:
         rng = random.Random(args.seed)
@@ -84,8 +98,9 @@ def main(argv=None):
     print(f"loaded {args.input}: shape={wav.shape}, sr={sr}, pad={pad}, "
           f"blocks={n_frames}")
 
-    wrapper = PQMFPitchShiftWrapper(args.attenuation, args.n_band,
-                                    args.buffer, sr, shifts)
+    if wrapper is None:
+        wrapper = PQMFPitchShiftWrapper(args.attenuation, args.n_band,
+                                        args.buffer, sr, shifts)
 
     n = np.arange(args.block)
     window = (0.5 - 0.5 * np.cos(2 * np.pi * n / args.block)).astype(
@@ -94,17 +109,30 @@ def main(argv=None):
     out_accum = np.zeros((1, total_len), np.float32)
     norm_accum = np.zeros_like(out_accum)
     recon_accum = np.zeros_like(out_accum)
+    recon_norm = np.zeros_like(out_accum)
+
+    from pqmf_tpu import native
+
+    nat = native.get()  # C OLA accumulator; None -> NumPy path
+    win_b = window[0].tobytes()
+
+    def ola(acc, nrm, blk_np, i):
+        if nat is not None:
+            nat.ola_accumulate(acc[0], nrm[0],
+                               np.ascontiguousarray(blk_np[0]).tobytes(),
+                               win_b, i)
+        else:
+            acc[:, i:i + args.block] += blk_np * window
+            nrm[:, i:i + args.block] += window * window
 
     state = wrapper.init_state()
     for frame_idx in range(n_frames):
         i = frame_idx * hop
         blk = wav[:, i:i + args.block] * window
         state, out = wrapper.pitchshift_fn(state, blk)
-        out = np.asarray(out)
-        out_accum[:, i:i + args.block] += out * window
-        norm_accum[:, i:i + args.block] += window * window
+        ola(out_accum, norm_accum, np.asarray(out), i)
         rec = np.asarray(wrapper.forward_fn(blk))
-        recon_accum[:, i:i + args.block] += rec * window
+        ola(recon_accum, recon_norm, rec, i)
 
     eps = 1e-8
     pitch_stream = (out_accum / (norm_accum + eps))[:, : total_len - pad]

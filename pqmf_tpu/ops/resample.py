@@ -105,7 +105,8 @@ def sinc_resample_kernel(orig_freq: int, new_freq: int,
         raise ValueError(f"unknown window {window}")
 
     scale = base_freq / orig_freq
-    kernels = np.where(t == 0, 1.0, np.sin(np.pi * t) / (np.pi * t))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kernels = np.where(t == 0, 1.0, np.sin(np.pi * t) / (np.pi * t))
     kernels = (kernels * win * scale).astype(dtype)
     return kernels[:, None, :], width, orig_freq, new_freq
 
@@ -124,12 +125,17 @@ def sinc_resample(x: jax.Array, orig_freq: int, new_freq: int,
         orig_freq, new_freq, lowpass_filter_width, rolloff, window)
     B, T = x.shape
     target_len = int(math.ceil(new_freq * T / orig_freq))
-    xp = jnp.pad(x, ((0, 0), (width, width + o)))[:, None, :]
-    y = jax.lax.conv_general_dilated(
-        xp, jnp.asarray(kernels), window_strides=(o,), padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, n_phases, T//o (+1)]
-    # interleave phases: output sample j*n + p comes from phase p at step j
-    y = jnp.swapaxes(y, 1, 2).reshape(B, -1)
+    K = kernels.shape[-1]
+    # im2col + ONE matmul instead of a conv with n_phases output channels:
+    # after gcd reduction n_phases can reach the thousands (e.g. large
+    # semitone shifts at prime sub-band rates), which blows up TPU conv
+    # lowering (scoped-VMEM OOM); frames [B, S, K] @ [K, n] is tiny.
+    xp = jnp.pad(x, ((0, 0), (width, width + o)))
+    S = -(-T // o)  # conv steps: one per n output samples
+    idx = (np.arange(S)[:, None] * o + np.arange(K)[None, :])
+    frames = xp[:, idx]  # [B, S, K]
+    y = jnp.einsum("bsk,pk->bsp", frames, jnp.asarray(kernels[:, 0, :]),
+                   precision=jax.lax.Precision.HIGHEST)
+    # output sample s*n + p comes from phase p at step s
+    y = y.reshape(B, -1)
     return y[:, :target_len]

@@ -41,6 +41,7 @@ from pqmf_tpu.ops import stft as S
 
 __all__ = [
     "PhaseVocoderPitchShift",
+    "PitchShifter",
     "ResamplePitchShift",
     "TorchaudioPitchShift",
 ]
@@ -233,5 +234,23 @@ class TorchaudioPitchShift:
                            self.hop_length, self.win_length, T, frames_out,
                            len_stretch, orig, self.sample_rate)
         return y[0] if squeeze else y
+
+    forward = __call__
+
+
+class PitchShifter:
+    """Fixed-shift adapter holding ``n_steps`` and delegating to a
+    :class:`PhaseVocoderPitchShift` instance (reference ``PitchShifter``,
+    1-PitchShifterWrapper.py:31-40; its defaults n_fft=4096, hop=128,
+    win=1024 are always overridden by the pipeline's derived geometry,
+    SURVEY.md §2.5-9)."""
+
+    def __init__(self, n_steps: int, n_fft: int = 4096,
+                 hop_length: int = 128, win_length: int = 1024):
+        self.n_steps = int(n_steps)
+        self.shifter = PhaseVocoderPitchShift(n_fft, hop_length, win_length)
+
+    def __call__(self, x):
+        return self.shifter(x, self.n_steps)
 
     forward = __call__

@@ -300,7 +300,10 @@ class StreamingPQMF:
         return x
 
 
-_EMPTY = jnp.zeros((1, 1, 0), jnp.float32)
+# numpy, not jnp: a module-level jnp constant would initialize (and pin)
+# the JAX backend at import time, breaking the CLIs' --cpu flag on setups
+# where the default backend is selected lazily
+_EMPTY = np.zeros((1, 1, 0), np.float32)
 
 
 def scan_blocks(step_fn, state, blocks):
