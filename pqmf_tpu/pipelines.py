@@ -78,8 +78,12 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
                            crossfade=True):
     """Pitch-shift every sub-band in one fused program.
 
-    bands: [B, M, Tb]; rates/frames_out: [M]; prev_tail: [M, L].
-    Returns (shifted [B, M, Tb], new_tail [M, L]).
+    bands: [B, M, Tb]; rates/frames_out: [M].
+    crossfade True (reference semantics, batch==1 guard at
+    1-PitchShifterWrapper.py:262): prev_tail [M, L].
+    crossfade "batched" (multi-stream serving): prev_tail [M, B, L] —
+    every batch row keeps its own carried tail.
+    Returns (shifted [B, M, Tb], new_tail like prev_tail).
     """
     B, M, _ = bands.shape
     window = S.hann_window(win, bands.dtype)
@@ -146,10 +150,15 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
 
     shifted = jax.vmap(one_band)(re, im, rates, frames_out)  # [M, B, Tb]
 
-    # --- crossfade against the carried per-band tail (batch==1 only,
-    #     mirroring the reference's guard at :262) ---
+    # --- crossfade against the carried per-band tail ---
     L = prev_tail.shape[-1]
-    if crossfade and L > 0 and B == 1 and Tb >= L:
+    if crossfade == "batched" and L > 0 and Tb >= L:
+        # per-batch tails [M, B, L]: every stream crossfades independently
+        blended = prev_tail * fade_out + shifted[:, :, :L] * fade_in
+        new_tail = shifted[:, :, Tb - L:]
+        shifted = jnp.concatenate([blended, shifted[:, :, L:]], axis=-1)
+    elif crossfade is True and L > 0 and B == 1 and Tb >= L:
+        # reference semantics: single shared tail, batch==1 only (:262)
         head = shifted[:, 0, :L]
         blended = prev_tail * fade_out + head * fade_in
         new_tail = shifted[:, 0, Tb - L:]
@@ -191,10 +200,12 @@ class PQMFWrapper(_RegistryMixin):
     """
 
     def __init__(self, attenuation: int = 100, n_band: int = 16,
-                 m_buffer_size: int = 512, precision: str = "highest"):
+                 m_buffer_size: int = 512, precision: str = "highest",
+                 use_pallas="auto"):
         self.n_band = n_band
         self.attenuation = attenuation
-        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision)
+        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
+                                  use_pallas=use_pallas)
         self._methods = ["forward", "inverse", "process"]
         self._attributes = [
             "n_band", "attenuation",
@@ -248,11 +259,13 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
 
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 8192, sample_rate: int = 44100,
-                 shifts_in_semitones=None, precision: str = "highest"):
+                 shifts_in_semitones=None, precision: str = "highest",
+                 use_pallas="auto"):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
-        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision)
+        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
+                                  use_pallas=use_pallas)
 
         self._methods = ["forward", "pitchshift"]
         self._attributes = [
@@ -356,6 +369,32 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         y = self.inverse(self.decompose(x))
         return y[:, 0, :]
 
+    # -- multi-stream serving -------------------------------------------------
+
+    def init_streams(self, n_streams: int):
+        """Per-stream crossfade state [S, M, L] for ``n_streams``
+        independent real-time streams."""
+        return {"prev_tail": jnp.zeros(
+            (n_streams, self.n_band, self.band_overlap), jnp.float32)}
+
+    def pitchshift_streams(self, states, x):
+        """Stateful step over S independent streams in ONE fused program —
+        each stream keeps its own crossfade tail (the reference's
+        module-buffer design is single-stream only, batch==1 guarded at
+        :262; explicit per-stream state removes the limit, and the streams
+        ride the batch axis of the same kernels).
+        x: [S, T] -> (states', y [S, T])."""
+        sub = self.decompose(x[:, None, :])  # [S, M, Tb]
+        S, _, Tb = sub.shape
+        frames_out, FO_max = self._plan(Tb)
+        tails = jnp.swapaxes(states["prev_tail"], 0, 1)  # [M, S, L]
+        shifted, new_tails = _fused_band_pitchshift(
+            sub, self._rates, frames_out, tails,
+            self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
+            Tb, FO_max, crossfade="batched")
+        y = self.inverse(shifted)
+        return ({"prev_tail": jnp.swapaxes(new_tails, 0, 1)}, y[:, 0, :])
+
     # -- stateful facade (reference-style implicit buffers) ------------------
 
     def reset(self):
@@ -380,11 +419,13 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
 
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 512, sample_rate: int = 44100,
-                 shifts_in_semitones=None, precision: str = "highest"):
+                 shifts_in_semitones=None, precision: str = "highest",
+                 use_pallas="auto"):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
-        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision)
+        self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
+                                  use_pallas=use_pallas)
 
         self._methods = ["forward", "inverse", "pitchshifter"]
         self._attributes = [

@@ -253,3 +253,34 @@ def test_ta_wrapper_runs_with_chromatic_default():
     y = np.asarray(w.pitchshifter(x))
     assert y.shape == (1, 1, 2048)
     assert np.isfinite(y).all()
+
+
+def test_multi_stream_states_match_independent_streams():
+    """pitchshift_streams == running each stream separately with its own
+    crossfade state (the reference can't do this at all: batch>1 disables
+    its crossfade, 1-PitchShifterWrapper.py:262)."""
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(70, 4, m_buffer_size=256)
+    rng = np.random.default_rng(7)
+    S, T = 3, 256
+    xs1 = jnp.asarray(rng.standard_normal((S, T)).astype(np.float32) * 0.1)
+    xs2 = jnp.asarray(rng.standard_normal((S, T)).astype(np.float32) * 0.1)
+
+    st = w.init_streams(S)
+    st, y1 = w.pitchshift_streams(st, xs1)
+    st, y2 = w.pitchshift_streams(st, xs2)
+
+    for s in range(S):
+        ind = w.init_state()
+        ind, z1 = w.pitchshift_fn(ind, xs1[s][None, None, :])
+        ind, z2 = w.pitchshift_fn(ind, xs2[s][None, None, :])
+        np.testing.assert_allclose(np.asarray(y1[s]), np.asarray(z1[0]),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(y2[s]), np.asarray(z2[0]),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st["prev_tail"][s]), np.asarray(ind["prev_tail"]),
+            atol=1e-5, rtol=1e-5)
