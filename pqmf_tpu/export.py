@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pqmf_tpu import __version__
-from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, PQMFWrapper
+from pqmf_tpu.pipelines import (PQMFPitchShiftWrapper,
+                                PQMFPitchShiftWrapperTA, PQMFWrapper)
 
 __all__ = ["save_artifact", "load_artifact", "export_stablehlo"]
 
@@ -84,6 +85,9 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
             "prev_tail": [wrapper.n_band, wrapper.band_overlap]}
         np.savez(os.path.join(path, "state.npz"),
                  prev_tail=np.asarray(wrapper._state["prev_tail"]))
+    elif isinstance(wrapper, PQMFPitchShiftWrapperTA):
+        manifest["config"]["sample_rate"] = wrapper.sample_rate
+        manifest["config"]["shifts_in_semitones"] = list(wrapper.shifts)
 
     np.savez(os.path.join(path, "weights.npz"), **_weights_of(wrapper))
 
@@ -142,6 +146,13 @@ def load_artifact(path: str):
         if os.path.exists(state_path):
             st = np.load(state_path)
             wrapper._state = {"prev_tail": jnp.asarray(st["prev_tail"])}
+    elif kind == "PQMFPitchShiftWrapperTA":
+        wrapper = PQMFPitchShiftWrapperTA(
+            cfg["attenuation"], cfg["n_band"], cfg["m_buffer_size"],
+            cfg.get("sample_rate", 44100),
+            cfg.get("shifts_in_semitones"),
+        )
+        _restore_pqmf_weights(wrapper.pqmf, weights)
     else:
         raise ValueError(f"unknown artifact kind {kind}")
     return wrapper, manifest

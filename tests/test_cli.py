@@ -1,0 +1,89 @@
+"""CLI smoke tests (small configs, CPU) — the reference's executable
+__main__ smoke tests (SURVEY.md §4 item 1) as actual pytest cases."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pqmf_tpu.utils.audio import read_wav, write_wav
+
+FLUTE = "/root/reference/audio/flute.wav"
+
+
+@pytest.fixture(scope="module")
+def short_wav(tmp_path_factory):
+    """2-second mono clip so CLI runs stay fast."""
+    x, sr = read_wav(FLUTE)
+    p = tmp_path_factory.mktemp("cli") / "short.wav"
+    write_wav(str(p), x[:1, : 2 * sr], sr)
+    return str(p)
+
+
+def test_blocks_cli(short_wav, tmp_path, capsys):
+    from pqmf_tpu.cli import blocks
+
+    blocks.main([short_wav, "--block", "1024", "--n_band", "8",
+                 "--buffer", "1024", "--seed", "1",
+                 "--out_prefix", str(tmp_path / "bt")])
+    out = capsys.readouterr().out
+    assert "RMS orig:" in out and "RMS full_pitch:" in out
+    assert (tmp_path / "bt_pitchshifter.wav").exists()
+    assert (tmp_path / "bt_recontructed.wav").exists()
+    assert (tmp_path / "nonblock_pitchshifter.wav").exists()
+    # stream reconstruction preserves energy
+    lines = {l.split(":")[0]: float(l.split(":")[1])
+             for l in out.splitlines() if l.startswith("RMS")}
+    assert abs(lines["RMS orig"] - lines["RMS stream_recon"]) < 0.01
+
+
+def test_blocks_cli_artifact_path(short_wav, tmp_path, capsys):
+    from pqmf_tpu.cli import blocks
+    from pqmf_tpu.export import save_artifact
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(70, 8, 1024, 44100, list(range(8)))
+    art = str(tmp_path / "art")
+    save_artifact(w, art)
+    blocks.main([short_wav, "--block", "1024",
+                 "--artifact", art, "--out_prefix", str(tmp_path / "a")])
+    out = capsys.readouterr().out
+    assert "loaded artifact" in out and "RMS full_pitch:" in out
+
+
+def test_ps_torchaudio_cli(short_wav, tmp_path, capsys):
+    from pqmf_tpu.cli import ps_torchaudio
+
+    ps_torchaudio.main([short_wav, "--n_band", "8", "--buffer", "2048",
+                        "--shifts", "0,2,-2,12,-12,5,-5,7",
+                        "--out_dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "RMS shifted:" in out
+    assert (tmp_path / "reconstruido.wav").exists()
+    assert (tmp_path / "ta_pitchshifted.wav").exists()
+
+
+def test_vocoder_cli(short_wav, tmp_path, capsys):
+    from pqmf_tpu.cli import vocoder
+
+    out_path = str(tmp_path / "shifted.wav")
+    vocoder.main([short_wav, out_path, "--n_steps", "-5",
+                  "--n_fft", "512", "--hop_length", "128",
+                  "--win_length", "512"])
+    assert os.path.exists(out_path)
+    y, sr = read_wav(out_path)
+    x, _ = read_wav(short_wav)
+    assert y.shape[-1] == x.shape[-1]
+
+
+def test_export_pqmf_cli(short_wav, tmp_path, capsys):
+    from pqmf_tpu.cli import export_pqmf
+
+    export_pqmf.main(["--input", short_wav, "--n_band", "8",
+                      "--buffer", "1024",
+                      "--out_dir", str(tmp_path / "art"),
+                      "--audio_dir", str(tmp_path / "audio")])
+    assert (tmp_path / "art" / "manifest.json").exists()
+    m = json.loads((tmp_path / "art" / "manifest.json").read_text())
+    assert m["kind"] == "PQMFWrapper" and m["config"]["n_band"] == 8

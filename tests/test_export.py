@@ -77,3 +77,22 @@ def test_stablehlo_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tail1),
                                np.asarray(state["prev_tail"]), atol=1e-5)
+
+
+def test_ta_wrapper_artifact_roundtrip(tmp_path):
+    import numpy as np
+
+    from pqmf_tpu.export import load_artifact, save_artifact
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    w = PQMFPitchShiftWrapperTA(70, 8, 512, 44100, list(range(8)))
+    path = str(tmp_path / "ta")
+    save_artifact(w, path)
+    w2, manifest = load_artifact(path)
+    assert manifest["kind"] == "PQMFPitchShiftWrapperTA"
+    assert w2.shifts == w.shifts
+    x = np.random.default_rng(0).standard_normal((1, 1, 8 * 64)).astype(
+        np.float32)
+    a = np.asarray(w.forward(x))
+    b = np.asarray(w2.forward(x))
+    np.testing.assert_allclose(b, a, atol=1e-6)
