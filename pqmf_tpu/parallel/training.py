@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pqmf_tpu.ops import filterbank as fb
 
 __all__ = ["analysis_from_hk", "synthesis_from_hk", "reconstruction_loss",
-           "TrainState", "make_train_step", "TrainablePQMF"]
+           "TrainState", "make_train_step", "TrainablePQMF",
+           "save_train_state", "load_train_state"]
 
 
 def analysis_from_hk(x: jax.Array, hk: jax.Array, precision="highest"):
@@ -130,3 +131,27 @@ class TrainablePQMF:
     @property
     def hk(self):
         return self.state.hk
+
+
+def save_train_state(state: TrainState, path: str) -> str:
+    """Checkpoint the training state (hk + optimizer moments) to one npz.
+
+    The reference's only persistence is TorchScript archives of inference
+    modules (SURVEY.md §5); training state checkpointing is new surface.
+    """
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(x)
+                      for i, x in enumerate(flat)})
+    return path
+
+
+def load_train_state(template: TrainState, path: str) -> TrainState:
+    """Restore a checkpoint into the structure of ``template``."""
+    import numpy as np
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(flat))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
