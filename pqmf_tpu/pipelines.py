@@ -72,10 +72,10 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
-                                   "crossfade"))
+                                   "crossfade", "phase_rule"))
 def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
                            fade_in, n_fft, hop, win, Tb, FO_max,
-                           crossfade=True):
+                           crossfade=True, phase_rule="reference"):
     """Pitch-shift every sub-band in one fused program.
 
     bands: [B, M, Tb]; rates/frames_out: [M].
@@ -118,9 +118,17 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
 
         mag_s = (1 - a) * jnp.take(mag, t0, -1) + a * jnp.take(mag, t1, -1)
         om = omega[None, :, None]
-        dp = pv.principal_angle(jnp.take(phase, t1, -1)
-                                - jnp.take(phase, t0, -1) - om)
-        phi = jnp.take(phase, t0, -1) + om + a * dp
+        phi0 = jnp.take(phase, t0, -1)
+        phi1 = jnp.take(phase, t1, -1)
+        dp = pv.principal_angle(phi1 - phi0 - om)
+        if phase_rule == "accumulate":
+            # librosa/torchaudio running phase (opt-in fix of reference
+            # quirk SURVEY §2.5-4): accumulate wrapped per-step advances
+            incs = jnp.concatenate([phi0[..., :1], (dp + om)[..., :-1]],
+                                   axis=-1)
+            phi = jnp.cumsum(incs, axis=-1)
+        else:  # the reference's per-frame-independent rule
+            phi = phi0 + om + a * dp
         fmask = (jnp.arange(FO_max) < fo).astype(bands.dtype)
         re_s = mag_s * jnp.cos(phi) * fmask[None, None, :]
         im_s = mag_s * jnp.sin(phi) * fmask[None, None, :]
@@ -260,7 +268,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 8192, sample_rate: int = 44100,
                  shifts_in_semitones=None, precision: str = "highest",
-                 use_pallas="auto"):
+                 use_pallas="auto", phase_rule: str = "reference"):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
@@ -298,6 +306,8 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         self._rates_py = rates
         self.Tb = m_buffer_size // n_band
         self._plans = {}
+        assert phase_rule in ("reference", "accumulate")
+        self.phase_rule = phase_rule
 
         L = self.band_overlap
         if L > 0:
@@ -360,7 +370,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
-            Tb, FO_max, crossfade=(B == 1))
+            Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule)
         y = self.inverse(shifted)  # [B, 1, T]
         return {"prev_tail": new_tail}, y[:, 0, :]
 
@@ -391,7 +401,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
-            Tb, FO_max, crossfade="batched")
+            Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule)
         y = self.inverse(shifted)
         return ({"prev_tail": jnp.swapaxes(new_tails, 0, 1)}, y[:, 0, :])
 

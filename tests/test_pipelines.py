@@ -284,3 +284,24 @@ def test_multi_stream_states_match_independent_streams():
         np.testing.assert_allclose(
             np.asarray(st["prev_tail"][s]), np.asarray(ind["prev_tail"]),
             atol=1e-5, rtol=1e-5)
+
+
+def test_phase_rule_accumulate_option():
+    """phase_rule='accumulate' (running-phase fix of reference quirk
+    SURVEY §2.5-4) runs, differs from the reference rule for non-trivial
+    shifts, and keeps plausible energy."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 1, 1024)).astype(np.float32) * 0.1
+    shifts = [3, -3, 5, -5]
+    ref = PQMFPitchShiftWrapper(70, 4, 1024, shifts_in_semitones=shifts)
+    acc = PQMFPitchShiftWrapper(70, 4, 1024, shifts_in_semitones=shifts,
+                                phase_rule="accumulate")
+    _, y_ref = ref.pitchshift_fn(ref.init_state(), x)
+    _, y_acc = acc.pitchshift_fn(acc.init_state(), x)
+    assert y_acc.shape == y_ref.shape
+    a, b = np.asarray(y_ref), np.asarray(y_acc)
+    assert np.abs(a - b).max() > 1e-4  # genuinely different rule
+    r = float(np.sqrt((b ** 2).mean()))
+    assert 1e-4 < r < 1.0
