@@ -55,7 +55,6 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
 
     from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
     from pqmf_tpu.utils.audio import read_wav, rms, write_wav

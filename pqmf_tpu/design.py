@@ -16,7 +16,6 @@ never inside the jitted TPU compute path.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 

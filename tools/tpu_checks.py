@@ -1,0 +1,87 @@
+"""On-chip verification suite — runs the key numerical equalities NATIVELY
+on the TPU (the pytest suite runs everything on CPU with Pallas in
+interpret mode; this catches TPU-only compilation/numerics drift).
+
+    python tools/tpu_checks.py
+
+Exits non-zero on any failure.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def check(name, err, tol):
+    ok = err <= tol
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: err={err:.3e} (tol {tol:g})")
+    return ok
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pqmf_tpu import PQMF
+    from pqmf_tpu.kernels import polyphase_analysis, polyphase_synthesis
+    from pqmf_tpu.ops import filterbank as fb
+    from pqmf_tpu.streaming import StreamingPQMF
+    from pqmf_tpu.utils.audio import read_wav
+
+    print(f"platform: {jax.devices()[0].platform}")
+    ok = True
+    rng = np.random.default_rng(0)
+
+    for M in (8, 16, 32):
+        p = fb.build_filterbank(100, M)
+        x = jnp.asarray(rng.standard_normal((2, 1, M * 1000), ).astype(
+            np.float32))
+        s = jnp.asarray(rng.standard_normal((2, M, 1000)).astype(np.float32))
+        ref = fb.reverse_half(fb.polyphase_forward(x, p["hk_poly"]))
+        got = polyphase_analysis(x, p["hk_poly"])
+        ok &= check(f"pallas analysis M={M}",
+                    float(jnp.abs(ref - got).max()), 5e-5)
+        ref2 = fb.polyphase_inverse(fb.reverse_half(s), p["hk_ipoly"])
+        got2 = polyphase_synthesis(s, p["hk_ipoly"])
+        ok &= check(f"pallas synthesis M={M}",
+                    float(jnp.abs(ref2 - got2).max()), 5e-5)
+
+    # streaming layer, all modes, pallas vs lax on-chip
+    refq = StreamingPQMF(100, 16, use_pallas=False)
+    palq = StreamingPQMF(100, 16, use_pallas=True)
+    x = jnp.asarray(rng.standard_normal((1, 1, 16 * 512)).astype(np.float32))
+    for fn in ("forward", "inverse", "forward_causal", "inverse_causal"):
+        arg = x if "forward" in fn else refq.forward(x)
+        a = getattr(refq, fn)(arg)
+        b = getattr(palq, fn)(arg)
+        ok &= check(f"streaming {fn} pallas==lax",
+                    float(jnp.abs(a - b).max()), 5e-5)
+    sr_, sp_ = refq.init_state(), palq.init_state()
+    for blk in jnp.split(x, 4, axis=-1):
+        sr_, yr = refq.process_block(sr_, blk)
+        sp_, yp = palq.process_block(sp_, blk)
+    ok &= check("streaming blocks pallas==lax",
+                float(jnp.abs(yr - yp).max()), 5e-5)
+
+    # end-to-end quality on a real fixture
+    wav, _ = read_wav("/root/reference/audio/flute.wav")
+    wav = wav[:1, : (wav.shape[-1] // 8192) * 8192]
+    pq = PQMF(100, 16)
+    y = np.asarray(pq.inverse(pq.forward(wav[None])))
+    err = wav[None] - y
+    snr = 10 * np.log10((wav ** 2).sum() / (err ** 2).sum())
+    good = snr > 54.0
+    print(f"{'PASS' if good else 'FAIL'}  flute round-trip SNR: {snr:.2f} dB"
+          f" (need > 54)")
+    ok &= good
+
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
