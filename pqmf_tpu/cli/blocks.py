@@ -47,6 +47,10 @@ def main(argv=None):
                    help="load the wrapper from an exported artifact dir "
                         "(the reference's --ts flag, 2-TestBlocks.py:44) "
                         "instead of constructing one")
+    p.add_argument("--scan", action="store_true",
+                   help="run the whole stream as ONE jitted lax.scan "
+                        "(blocking + OLA in-graph; no per-block host "
+                        "round-trips)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -124,18 +128,30 @@ def main(argv=None):
             acc[:, i:i + args.block] += blk_np * window
             nrm[:, i:i + args.block] += window * window
 
-    state = wrapper.init_state()
-    for frame_idx in range(n_frames):
-        i = frame_idx * hop
-        blk = wav[:, i:i + args.block] * window
-        state, out = wrapper.pitchshift_fn(state, blk)
-        ola(out_accum, norm_accum, np.asarray(out), i)
-        rec = np.asarray(wrapper.forward_fn(blk))
-        ola(recon_accum, recon_norm, rec, i)
+    if args.scan:
+        from pqmf_tpu.pipelines import stream_ola
 
-    eps = 1e-8
-    pitch_stream = (out_accum / (norm_accum + eps))[:, : total_len - pad]
-    recon_stream = (recon_accum / (norm_accum + eps))[:, : total_len - pad]
+        import time as _time
+
+        t0 = _time.perf_counter()
+        pitch, recon = stream_ola(wrapper, wav, args.block, overlap)
+        pitch_stream = np.asarray(pitch)[:, : total_len - pad]
+        recon_stream = np.asarray(recon)[:, : total_len - pad]
+        print(f"scan path: {_time.perf_counter() - t0:.2f} s "
+              f"(compile + run, ONE dispatch)")
+    else:
+        state = wrapper.init_state()
+        for frame_idx in range(n_frames):
+            i = frame_idx * hop
+            blk = wav[:, i:i + args.block] * window
+            state, out = wrapper.pitchshift_fn(state, blk)
+            ola(out_accum, norm_accum, np.asarray(out), i)
+            rec = np.asarray(wrapper.forward_fn(blk))
+            ola(recon_accum, recon_norm, rec, i)
+
+        eps = 1e-8
+        pitch_stream = (out_accum / (norm_accum + eps))[:, : total_len - pad]
+        recon_stream = (recon_accum / (norm_accum + eps))[:, : total_len - pad]
 
     # whole-file pass (reference bug §2.5-2 fixed: call the real method)
     wrapper.reset()

@@ -42,6 +42,7 @@ __all__ = [
     "PQMFPitchShiftWrapper",
     "PQMFPitchShiftWrapperTA",
     "derive_stft_geometry",
+    "stream_ola",
 ]
 
 
@@ -420,6 +421,45 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         return self.forward_fn(x)
 
     __call__ = forward
+
+
+def stream_ola(wrapper, x, block: int, overlap: int | None = None):
+    """The whole block-streaming harness (reference 2-TestBlocks.py:86-126)
+    as ONE jitted XLA program: Hann-windowed overlapping blocks ->
+    ``lax.scan`` of the stateful pitchshift step (carried crossfade state)
+    and of the plain round trip -> windowed overlap-add normalized by the
+    accumulated window energy. Zero per-block host round-trips — the
+    SURVEY §5 long-context north star.
+
+    x: [1, T] (or [T]); returns (pitch_stream [1, T], recon_stream [1, T]).
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[None]
+    T = x.shape[-1]
+    hop = block - (block // 2 if overlap is None else overlap)
+    if hop <= 0 or hop > block:
+        raise ValueError("overlap must be in [0, block-1]")
+    n_frames = 1 if T <= block else -(-(T - block) // hop) + 1
+    total = (n_frames - 1) * hop + block
+    xp = jnp.pad(x, ((0, 0), (0, total - T)))
+
+    window = S.hann_window(block, x.dtype)
+    framed = S._frame_signal(xp, block, hop, n_frames)  # [1, N, block]
+    blocks = (framed * window)[0][:, None, None, :]     # [N, 1, 1, block]
+
+    def step(state, blk):
+        state, out = wrapper.pitchshift_fn(state, blk)
+        rec = wrapper.forward_fn(blk)
+        return state, (out[0], rec[0])
+
+    _, (outs, recs) = jax.lax.scan(step, wrapper.init_state(), blocks)
+
+    wsq = jnp.broadcast_to(window * window, (n_frames, block))
+    norm = S._ola(wsq, block, hop) + 1e-8  # the harness's exact epsilon
+    pitch = S._ola((outs * window)[None], block, hop)[0] / norm
+    recon = S._ola((recs * window)[None], block, hop)[0] / norm
+    return pitch[None, :T], recon[None, :T]
 
 
 class PQMFPitchShiftWrapperTA(_RegistryMixin):

@@ -326,3 +326,44 @@ def test_flagship_other_band_counts(n_band, buffer):
     rin = float(np.sqrt((x ** 2).mean()))
     rout = float(np.sqrt((np.asarray(y) ** 2).mean()))
     assert 0.1 * rin < rout < 3.0 * rin
+
+
+def test_stream_ola_matches_host_loop():
+    """stream_ola (one jitted scan) == the CLI harness's host loop."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
+    from pqmf_tpu.ops import stft as S
+
+    rng = np.random.default_rng(13)
+    block, n_band, buffer = 512, 4, 512
+    T = 2000
+    x = rng.standard_normal((1, T)).astype(np.float32) * 0.1
+    w = PQMFPitchShiftWrapper(70, n_band, buffer,
+                              shifts_in_semitones=[2, -2, 5, -5])
+
+    pitch, recon = stream_ola(w, x, block)
+    assert pitch.shape == (1, T) and recon.shape == (1, T)
+
+    # host-loop reference (the CLI's exact math)
+    hop = block - block // 2
+    n_frames = -(-(T - block) // hop) + 1
+    total = (n_frames - 1) * hop + block
+    xp = np.pad(x, ((0, 0), (0, total - T)))
+    win = np.asarray(S.hann_window(block))
+    out_acc = np.zeros((1, total), np.float32)
+    rec_acc = np.zeros_like(out_acc)
+    norm = np.zeros_like(out_acc)
+    state = w.init_state()
+    for f in range(n_frames):
+        i = f * hop
+        blk = xp[:, i:i + block] * win
+        state, out = w.pitchshift_fn(state, blk)
+        out_acc[:, i:i + block] += np.asarray(out) * win
+        rec_acc[:, i:i + block] += np.asarray(w.forward_fn(blk)) * win
+        norm[:, i:i + block] += win * win
+    pitch_ref = (out_acc / (norm + 1e-8))[:, :T]
+    recon_ref = (rec_acc / (norm + 1e-8))[:, :T]
+
+    np.testing.assert_allclose(np.asarray(pitch), pitch_ref,
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon), recon_ref,
+                               atol=1e-5, rtol=1e-4)
