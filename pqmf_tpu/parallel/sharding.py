@@ -13,6 +13,12 @@ Everything rides ``jax.jit`` + ``NamedSharding``: XLA inserts the ICI
 collectives (the synthesis conv contracts over the band axis, so an
 all-gather of the shifted bands appears exactly once, at the end of the
 fused program). DCN/multi-host is out of scope, matching the survey.
+
+Note: the Pallas kernels carry no custom partitioning rules yet; under a
+multi-device mesh XLA replicates them (correct, but without band-parallel
+speedup inside the conv). For real multi-chip runs construct the wrapper
+with ``use_pallas=False`` (the lax convs partition natively) until
+shard_map-wrapped kernels land.
 """
 
 from __future__ import annotations
