@@ -16,6 +16,7 @@ from pqmf_tpu.pipelines import (
     PQMFPitchShiftWrapper,
     PQMFPitchShiftWrapperTA,
     PQMFWrapper,
+    stream_ola,
 )
 from pqmf_tpu.shifters import (
     PhaseVocoderPitchShift,
@@ -36,5 +37,6 @@ __all__ = [
     "PQMFWrapper",
     "PQMFPitchShiftWrapper",
     "PQMFPitchShiftWrapperTA",
+    "stream_ola",
     "__version__",
 ]

@@ -14,10 +14,14 @@ with the state pytree owned by the caller — jit-safe, vmap-safe,
 ``lax.scan``-able over blocks, and free of the reference's
 shared-mutable-buffer hazard (SURVEY.md §5 "race detection").
 
-Key property (tested in tests/test_streaming.py): concatenating the outputs
-of block-wise calls equals the offline causal conv of the concatenated
-input, for ANY block partition whose block sizes are multiples of the
-stride. Latency bookkeeping mirrors ``cached_conv``'s ``cumulative_delay``.
+Key property (tested in tests/test_streaming.py, incl. a hypothesis
+partition property): concatenating the outputs of block-wise calls equals
+the offline causal conv of the concatenated input, for any block partition
+whose per-block SUB-BAND length is even (block size a multiple of 2*M for
+analysis). The evenness constraint comes from ``reverse_half``'s
+block-local alternating sign — shared with the reference's CachedPQMF,
+and never triggered by real-time hosts' power-of-two buffers. Latency
+bookkeeping mirrors ``cached_conv``'s ``cumulative_delay``.
 """
 
 from __future__ import annotations

@@ -163,3 +163,52 @@ def test_latency_matches_measurement(spq):
     a, b = x[: len(x) - d], y[d:]
     cut = 2048
     assert snr_db(a[cut:-cut], b[cut:-cut]) > 55
+
+
+def test_streaming_equals_causal_for_random_partitions():
+    """Property: any random block partition whose per-block SUB-BAND
+    length is even reproduces the causal offline output (the cached_conv
+    guarantee, pqmf.py:306-354).
+
+    The even-length constraint is inherent to the design (ours AND the
+    reference's): ``reverse_half`` negates alternating output samples with
+    block-local indexing, so an odd-length block flips the parity of every
+    later block relative to the offline mask. Real-time hosts use
+    fixed power-of-two buffers, where this never triggers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import jax.numpy as jnp
+
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    sp = StreamingPQMF(80, 8)
+    rng = np.random.default_rng(21)
+    T = 8 * 96
+    x = jnp.asarray(rng.standard_normal((1, 1, T)).astype(np.float32))
+    want = np.asarray(sp.forward_causal(x))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=6),
+                    min_size=1, max_size=8))
+    def run(chunks):
+        # scale chunks (in units of 2*M: per-block sub-band length stays
+        # even, see docstring) to cover T exactly
+        M = 8
+        sizes = [c * 2 * M for c in chunks]
+        total = sum(sizes)
+        if total > T:
+            return
+        sizes.append(T - total)
+        sizes = [s for s in sizes if s > 0]
+        state = sp.init_state()
+        outs = []
+        off = 0
+        for s in sizes:
+            state, y = sp.forward_block(state, x[..., off:off + s])
+            outs.append(np.asarray(y))
+            off += s
+        got = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    run()
