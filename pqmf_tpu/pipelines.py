@@ -223,10 +223,11 @@ class PQMFWrapper(_RegistryMixin):
             "process_in_ch", "process_out_ch",
             "m_buffer_size", "max_buffer_size",
         ]
+        # exact reference values (PQMFWrapper.py:34-41)
         self.forward_in_ch = 1
         self.forward_out_ch = 1
         self.inverse_in_ch = 1
-        self.inverse_out_ch = 2
+        self.inverse_out_ch = 1
         self.process_in_ch = 1
         self.process_out_ch = 2
         self.m_buffer_size = m_buffer_size
