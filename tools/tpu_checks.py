@@ -67,6 +67,27 @@ def main():
     ok &= check("streaming blocks pallas==lax",
                 float(jnp.abs(yr - yp).max()), 5e-5)
 
+    # fused flagship pitchshift ON CHIP vs the torch oracle on CPU
+    sys.path.insert(0, "tests")
+    from test_pipelines import SHIFTS, torch_flagship_pitchshift
+    from oracles import snr_db
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
+    xb = rng.standard_normal((1, 8192)).astype(np.float32) * 0.3
+    hk = np.asarray(w.pqmf.params["hk"])
+    state, got = w.pitchshift_fn(w.init_state(), xb)
+    want, want_tail = torch_flagship_pitchshift(
+        xb[None], hk, SHIFTS, 8192,
+        np.zeros((16, w.band_overlap), np.float32))
+    s1 = snr_db(want, np.asarray(got))
+    s2 = snr_db(want_tail, np.asarray(state["prev_tail"]))
+    good = s1 > 80 and s2 > 80
+    print(f"{'PASS' if good else 'FAIL'}  flagship pitchshift on-chip vs "
+          f"torch oracle: out {s1:.1f} dB, tail {s2:.1f} dB (need > 80)")
+    ok &= good
+
     # end-to-end quality on a real fixture
     wav, _ = read_wav("/root/reference/audio/flute.wav")
     wav = wav[:1, : (wav.shape[-1] // 8192) * 8192]
