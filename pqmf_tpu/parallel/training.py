@@ -93,7 +93,9 @@ def make_train_step(optimizer=None, mesh: Mesh | None = None,
         return TrainState(hk, opt_state), loss
 
     if mesh is not None:
-        x_sharding = NamedSharding(mesh, P("data", None, None))
+        # batch shards over BOTH axes (full data-parallel across every
+        # device): the band axis only carries meaning for inference
+        x_sharding = NamedSharding(mesh, P(("data", "band"), None, None))
         repl = NamedSharding(mesh, P())
         state_sharding = TrainState(repl, jax.tree.map(lambda _: repl,
                                                        optimizer.init(

@@ -46,7 +46,7 @@ def test_sharded_train_step_reduces_loss():
     mesh = make_mesh(8, n_band=4)
     model = TrainablePQMF(70, 4, mesh=mesh)
     x = jnp.asarray(np.random.default_rng(1).standard_normal(
-        (4, 1, 512)).astype(np.float32))
+        (8, 1, 512)).astype(np.float32))  # batch shards over all 8 devices
     losses = [model.train_batch(x) for _ in range(5)]
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
@@ -58,7 +58,7 @@ def test_train_step_grads_match_unsharded():
 
     hk = jnp.asarray(fb.build_filterbank(70, 4)["hk"])
     x = jnp.asarray(np.random.default_rng(2).standard_normal(
-        (2, 1, 256)).astype(np.float32))
+        (8, 1, 256)).astype(np.float32))
 
     init_u, step_u = make_train_step()
     su, loss_u = step_u(init_u(hk), x)
