@@ -87,3 +87,20 @@ def test_export_pqmf_cli(short_wav, tmp_path, capsys):
     assert (tmp_path / "art" / "manifest.json").exists()
     m = json.loads((tmp_path / "art" / "manifest.json").read_text())
     assert m["kind"] == "PQMFWrapper" and m["config"]["n_band"] == 8
+
+
+def test_export_pvoc_cli(short_wav, tmp_path, capsys):
+    from pqmf_tpu.cli import export_pvoc
+
+    export_pvoc.main(["--input", short_wav, "--n_band", "8",
+                      "--buffer", "1024", "--seed", "3",
+                      "--out_dir", str(tmp_path / "art"),
+                      "--audio_dir", str(tmp_path / "audio"),
+                      "--save_audio"])
+    out = capsys.readouterr().out
+    assert "pitchshift output shape" in out
+    assert (tmp_path / "art" / "manifest.json").exists()
+    assert (tmp_path / "art" / "weights.npz").exists()
+    assert (tmp_path / "audio" / "phasevocoder.wav").exists()
+    m = json.loads((tmp_path / "art" / "manifest.json").read_text())
+    assert m["kind"] == "PQMFPitchShiftWrapper"
