@@ -268,8 +268,13 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
     framed = _frame_signal(x, n_fft, hop_length, frames) * w  # [B,frames,n_fft]
     C, S = dft_basis(n_fft, x.dtype)
     hp = jax.lax.Precision.HIGHEST
-    re = jnp.einsum("bfn,nk->bkf", framed, C, precision=hp)
-    im = -jnp.einsum("bfn,nk->bkf", framed, S, precision=hp)
+    # ONE matmul for both real and imaginary parts: each output column is
+    # an independent dot over n, so this is bit-identical to two separate
+    # products while halving MXU kernel launches
+    CS = jnp.concatenate([C, S], axis=1)  # [n_fft, 2F]
+    both = jnp.einsum("bfn,nk->bkf", framed, CS, precision=hp)
+    F = n_fft // 2 + 1
+    re, im = both[:, :F], -both[:, F:]
     if normalized:
         scale = 1.0 / np.sqrt(n_fft)
         re, im = re * scale, im * scale
@@ -285,8 +290,11 @@ def istft_ri_parts(re, im, n_fft, hop_length, window, normalized=True,
     w = _padded_window(window, n_fft)
     Ci, Si = idft_basis(n_fft, re.dtype)
     hp = jax.lax.Precision.HIGHEST
-    y_f = (jnp.einsum("bkf,kn->bfn", re, Ci, precision=hp)
-           + jnp.einsum("bkf,kn->bfn", im, Si, precision=hp))
+    # single [.., 2F] @ [2F, n_fft] matmul instead of two + add (the
+    # dominant cost of the fused pitchshift step per the device trace)
+    ri = jnp.concatenate([re, im], axis=1)  # [B, 2F, frames]
+    CiSi = jnp.concatenate([Ci, Si], axis=0)  # [2F, n_fft]
+    y_f = jnp.einsum("bkf,kn->bfn", ri, CiSi, precision=hp)
     if normalized:
         y_f = y_f * np.sqrt(n_fft)
     y_f = y_f * w
