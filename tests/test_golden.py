@@ -64,3 +64,18 @@ def test_committed_goldens_readable_and_sane(name):
     assert sr == 44100 and x.ndim == 2 and x.shape[-1] > 44100
     rms = float(np.sqrt((x ** 2).mean()))
     assert 1e-4 < rms < 1.0
+
+
+@pytest.mark.parametrize("attenuation", [80, 120])
+def test_roundtrip_snr_other_attenuations(attenuation):
+    """The design chain holds reconstruction quality across the supported
+    attenuation range (reference docstring: 80-120 dB, pqmf.py:208)."""
+    from pqmf_tpu import PQMF
+
+    x, sr = _load(f"{REF}/audio/flute.wav")
+    x = x[:1, : 16 * 16384]
+    pq = PQMF(attenuation, 16)
+    y = np.asarray(pq.inverse(pq.forward(x[None])))
+    err = x[None] - y
+    snr = 10 * np.log10((x ** 2).sum() / (err ** 2).sum())
+    assert snr > 45.0, f"atten={attenuation}: SNR {snr:.2f} dB"
