@@ -74,18 +74,26 @@ jax.tree_util.register_pytree_node(
 
 
 def make_train_step(optimizer=None, mesh: Mesh | None = None,
-                    precision: str = "highest"):
-    """Build (init_fn, step_fn). With a mesh, the batch is sharded over the
-    'data' axis and parameters are replicated; XLA inserts the gradient
-    all-reduce over ICI."""
+                    precision: str = "highest", remat: bool = False):
+    """Build (init_fn, step_fn). With a mesh, the batch is sharded over
+    every mesh axis (full DP) and parameters are replicated; XLA inserts
+    the gradient all-reduce over ICI. ``remat=True`` rematerializes the
+    analysis pass in the backward computation (jax.checkpoint), trading
+    one extra forward for not keeping the sub-band activations — useful
+    for long audio batches near the HBM limit."""
     if optimizer is None:
         optimizer = optax.adam(1e-4)
+
+    loss_fn = reconstruction_loss
+    if remat:
+        loss_fn = jax.checkpoint(reconstruction_loss,
+                                 static_argnums=(2,))
 
     def init_fn(hk):
         return TrainState(hk, optimizer.init(hk))
 
     def step(state: TrainState, x):
-        loss, grads = jax.value_and_grad(reconstruction_loss)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             state.hk, x, precision)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.hk)

@@ -92,3 +92,19 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     l1 = fresh.train_batch(x)
     l2 = model.train_batch(x)
     assert abs(l1 - l2) < 1e-7
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint'ed loss gives identical gradients/updates."""
+    from pqmf_tpu.ops import filterbank as fb
+
+    hk = jnp.asarray(fb.build_filterbank(70, 4)["hk"])
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 1, 256)).astype(np.float32))
+    init_a, step_a = make_train_step()
+    init_b, step_b = make_train_step(remat=True)
+    sa, la = step_a(init_a(hk), x)
+    sb, lb = step_b(init_b(hk), x)
+    assert abs(float(la) - float(lb)) < 1e-7
+    np.testing.assert_allclose(np.asarray(sb.hk), np.asarray(sa.hk),
+                               atol=1e-7)
