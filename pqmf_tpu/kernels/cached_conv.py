@@ -130,11 +130,14 @@ def _syn_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, L, Tt,
         x_hbm.at[b, :, pl.ds(i * Tt, xw.shape[-1])], xw, sem)
     copy.start()
     copy.wait()
-    if in_mask_parity is None:
-        mask_fn = None
-    else:
-        mask_fn = lambda l: _sign_mask(M, Tt, l + in_mask_parity, xw.dtype)
-    _build_frames(xw[:], frames, M, L, Tt, mask_fn=mask_fn)
+    xv = xw[:]
+    if in_mask_parity is not None:
+        # reverse_half signs depend on each SOURCE sample's position, so
+        # one mask multiply on the DMA window replaces a per-tap mask on
+        # all L im2col slices (the per-tap version made this kernel 2.7x
+        # slower than the analysis one in device traces)
+        xv = xv * _sign_mask(M, xv.shape[-1], in_mask_parity, xv.dtype)
+    _build_frames(xv, frames, M, L, Tt)
     y = jax.lax.dot_general(
         frames[:], v_ref[:],
         dimension_numbers=(((0,), (1,)), ((), ())),
