@@ -121,6 +121,35 @@ def bench_pitchshift(n_blocks=64):
     return (8192 / SR) / per_block
 
 
+def bench_streams(n_streams=16, n_blocks=16):
+    """Multi-stream serving: aggregate realtime factor for n_streams
+    concurrent pitch-shift streams, each with its own crossfade state."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(ATTEN, N_BAND, 8192, SR)
+    blocks = jnp.asarray(
+        0.1 * np.random.default_rng(0).standard_normal(
+            (n_blocks, n_streams, 8192)).astype(np.float32))
+
+    @jax.jit
+    def run(states, blocks):
+        return jax.lax.scan(
+            lambda s, b: w.pitchshift_streams(s, b), states, blocks)
+
+    states = w.init_streams(n_streams)
+    float(run(states, blocks)[1].sum())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(states, blocks)[1].sum())
+        best = min(best, time.perf_counter() - t0)
+    per_block = (best - 0.025) / n_blocks
+    return n_streams * (8192 / SR) / per_block
+
+
 def main():
     n = int(SECONDS * SR) // N_BAND * N_BAND
     x = _signal(n)
@@ -133,6 +162,10 @@ def main():
         rtf_ps = bench_pitchshift()
     except Exception:
         rtf_ps = None
+    try:
+        rtf_streams = bench_streams()
+    except Exception:
+        rtf_streams = None
     vs = (rtf / rtf_ref) if rtf_ref else 1.0
     print(json.dumps({
         "metric": "pqmf_roundtrip_rtf",
@@ -144,6 +177,8 @@ def main():
             "roundtrip_snr_db": round(snr, 2),
             "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
             "pitchshift_rtf": round(rtf_ps, 1) if rtf_ps else None,
+            "serving_16stream_aggregate_rtf":
+                round(rtf_streams, 1) if rtf_streams else None,
             "seconds_of_audio": SECONDS,
             "n_band": N_BAND,
             "attenuation": ATTEN,
