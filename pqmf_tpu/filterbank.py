@@ -25,13 +25,28 @@ from pqmf_tpu.ops import filterbank as fb
 __all__ = ["PQMF"]
 
 
-@partial(jax.jit, static_argnames=("polyphase", "precision", "use_pallas"))
+@partial(jax.jit, static_argnames=("polyphase", "precision", "use_pallas",
+                                   "mesh"))
 def _analysis(x, hk, hk_poly, polyphase=True, precision="highest",
-              use_pallas=False):
+              use_pallas=False, mesh=None):
     """x: [B, 1, T] -> [B, M, T/M] (conv then alias sign mask)."""
     if use_pallas:
         from pqmf_tpu.kernels import polyphase_analysis
 
+        if mesh is not None:
+            # band-partitioned (shard_map): each device computes its row
+            # shard of the bank; see streaming._shard_analysis_call for
+            # the rationale
+            from jax.sharding import PartitionSpec as P
+
+            from pqmf_tpu.streaming import shard_map_nocheck
+
+            data_ax, band_ax = mesh.axis_names
+            dspec = data_ax if x.shape[0] % mesh.shape[data_ax] == 0 else None
+            return shard_map_nocheck(
+                polyphase_analysis, mesh,
+                in_specs=(P(dspec, None, None), P(band_ax, None, None)),
+                out_specs=P(dspec, band_ax, None))(x, hk_poly)
         return polyphase_analysis(x, hk_poly)
     if polyphase:
         y = fb.polyphase_forward(x, hk_poly, precision=precision)
@@ -40,13 +55,31 @@ def _analysis(x, hk, hk_poly, polyphase=True, precision="highest",
     return fb.reverse_half(y)
 
 
-@partial(jax.jit, static_argnames=("polyphase", "precision", "use_pallas"))
+@partial(jax.jit, static_argnames=("polyphase", "precision", "use_pallas",
+                                   "mesh"))
 def _synthesis(x, hk, hk_ipoly, polyphase=True, precision="highest",
-               use_pallas=False):
+               use_pallas=False, mesh=None):
     """x: [B, M, T'] -> [B, 1, M*T'] (alias sign mask then conv)."""
     if use_pallas:
         from pqmf_tpu.kernels import polyphase_synthesis
 
+        if mesh is not None:
+            # band-partitioned: each device contracts its band shard and
+            # the partial syntheses psum over the band axis
+            from jax.sharding import PartitionSpec as P
+
+            from pqmf_tpu.streaming import shard_map_nocheck
+
+            data_ax, band_ax = mesh.axis_names
+            dspec = data_ax if x.shape[0] % mesh.shape[data_ax] == 0 else None
+
+            def local(x_l, w_l):
+                return jax.lax.psum(polyphase_synthesis(x_l, w_l), band_ax)
+
+            return shard_map_nocheck(
+                local, mesh,
+                in_specs=(P(dspec, band_ax, None), P(None, band_ax, None)),
+                out_specs=P(dspec, None, None))(x, hk_ipoly)
         return polyphase_synthesis(x, hk_ipoly)
     x = fb.reverse_half(x)
     if polyphase:
@@ -78,7 +111,7 @@ class PQMF:
 
     def __init__(self, attenuation: float, n_band: int, polyphase: bool = True,
                  n_channels: int = 1, precision: str = "highest",
-                 use_pallas="auto"):
+                 use_pallas="auto", mesh=None):
         if polyphase:
             power = math.log2(n_band)
             assert power == math.floor(power), (
@@ -89,13 +122,21 @@ class PQMF:
         self.polyphase = polyphase
         self.n_channels = n_channels
         self.precision = precision
+        self.params = fb.build_filterbank(attenuation, n_band)
         if use_pallas == "auto":
             from pqmf_tpu.kernels import polyphase as _pk
 
+            halo = self.params["hk_poly"].shape[-1]  # taps per phase P/M
             use_pallas = (polyphase and _pk.pallas_available()
-                          and _pk.supports(n_band))
+                          and _pk.supports(n_band, (halo,)))
         self.use_pallas = bool(use_pallas)
-        self.params = fb.build_filterbank(attenuation, n_band)
+        if mesh is not None and self.use_pallas:
+            band = mesh.shape[mesh.axis_names[1]]
+            if n_band % band or (n_band // band) % 2:
+                raise ValueError(
+                    f"band axis size {band} must divide n_band={n_band} "
+                    f"into even shards for the Pallas kernels")
+        self.mesh = mesh if self.use_pallas else None
         # convenient aliases mirroring the reference's buffers
         self.h = self.params["h"]
         self.hk = self.params["hk"]
@@ -133,7 +174,7 @@ class PQMF:
         y = _analysis(
             xc, self.params["hk"], self.params["hk_poly"],
             polyphase=self.polyphase, precision=self.precision,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, mesh=self.mesh,
         )
         return y.reshape(B, C * self.n_band, T // self.n_band)
 
@@ -157,7 +198,7 @@ class PQMF:
         y = _synthesis(
             xc, self.params["hk"], self.params["hk_ipoly"],
             polyphase=self.polyphase, precision=self.precision,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, mesh=self.mesh,
         )
         return y.reshape(B, C, Tp * self.n_band)
 

@@ -50,7 +50,7 @@ def _tile(tile, L, M, T_out):
     return Tt, -(-T_out // Tt)
 
 
-def _ana_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, L, Tt,
+def _ana_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, Mout, L, Tt,
                 mask_parity):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -66,7 +66,7 @@ def _ana_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, L, Tt,
         precision=jax.lax.Precision.HIGHEST,
     )
     if mask_parity is not None:
-        y = y * _sign_mask(M, Tt, mask_parity, y.dtype)
+        y = y * _sign_mask(Mout, Tt, mask_parity, y.dtype)
     out_ref[:] = y[None]
 
 
@@ -77,18 +77,26 @@ def strided_analysis_conv(x, w, M, tile=1024, interpret=None,
     """Valid stride-M conv of a pre-padded mono signal + optional fused
     reverse_half on the output.
 
-    x: [B, 1, Tpad]; w: [M, 1, K]. Returns [B, M, T_out] with
+    x: [B, 1, Tpad]; w: [Mb, 1, K] with Mb the output bands. Mb == M
+    offline; under a band-sharded mesh each device passes its even-sized
+    row shard of the bank (even so the fused sign mask's local band parity
+    equals the global one). Returns [B, Mb, T_out] with
     ``T_out = (Tpad - K) // M + 1`` — equal to
-    ``reverse_half(conv1d(x, w, stride=M, padding=0))``.
+    ``reverse_half(conv1d(x, w_full, stride=M, padding=0))[:, :Mb]``.
     """
     B, _, Tpad = x.shape
-    Mw, _, K = w.shape
-    assert Mw == M and supports(M)
+    Mb, _, K = w.shape
+    assert supports(M)
+    if fuse_mask and Mb % 2:
+        raise ValueError("band shards must be even-sized (sign-mask parity)")
     T_out = (Tpad - K) // M + 1
     L = -(-K // M)  # kernel taps in M-sized rows
     Tt, nt = _tile(tile, L, M, T_out)
     win = Tt + -(-L // 128) * 128
-    assert L <= 128
+    if L > 128:
+        raise ValueError(
+            f"halo L={L} wider than one lane tile; gate with supports()")
+    Mb_pad = -(-Mb // 8) * 8  # sublane-aligned output rows
 
     # raw -> phase-rows reshape needs ((nt-1)*Tt + win) * M samples
     need = ((nt - 1) * Tt + win) * M
@@ -98,20 +106,20 @@ def strided_analysis_conv(x, w, M, tile=1024, interpret=None,
     xr = xr[:, :need].reshape(B, need // M, M)
     xp = jnp.swapaxes(xr, 1, 2)  # [B, M, rows]
 
-    w2 = jnp.pad(w[:, 0, :], ((0, 0), (0, L * M - K)))  # [M, L*M]
+    w2 = jnp.pad(w[:, 0, :], ((0, Mb_pad - Mb), (0, L * M - K)))
 
     out = pl.pallas_call(
-        functools.partial(_ana_kernel, M=M, L=L, Tt=Tt,
+        functools.partial(_ana_kernel, M=M, Mout=Mb_pad, L=L, Tt=Tt,
                           mask_parity=0 if fuse_mask else None),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((M, L * M), lambda b, i: (0, 0),
+            pl.BlockSpec((Mb_pad, L * M), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, Tt), lambda b, i: (b, 0, i),
+        out_specs=pl.BlockSpec((1, Mb_pad, Tt), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, nt * Tt), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Mb_pad, nt * Tt), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((M, win), x.dtype),
             pltpu.VMEM((L * M, Tt), x.dtype),
@@ -119,10 +127,10 @@ def strided_analysis_conv(x, w, M, tile=1024, interpret=None,
         ],
         interpret=_should_interpret(interpret),
     )(xp, w2)
-    return out[..., :T_out]
+    return out[:, :Mb, :T_out]
 
 
-def _syn_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, L, Tt,
+def _syn_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, Mout, L, Tt,
                 in_mask_parity):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -143,7 +151,7 @@ def _syn_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, L, Tt,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [Tt, M]
+    )  # [Tt, Mout]
     out_ref[:] = y[None]
 
 
@@ -158,43 +166,57 @@ def dense_synthesis_conv(x, w, tile=1024, interpret=None, fuse_mask=True,
     for the mask's time parity), ``*M`` gain, band flip, and time-major
     output so the phase interleave is a free reshape.
 
-    x: [B, M, Tpad]; w: [M, M, K]. Returns [B, T_out, M] with
+    x: [B, Mb, Tpad]; w: [M, Mb, K] with M the output phases (= full band
+    count; also the reference's ``*M`` gain) and Mb the bands contracted
+    here. Mb == M offline; under a band-sharded mesh each device passes
+    its even-sized band shard of x and of the bank's band axis, and psums
+    the partial outputs. Returns [B, T_out, M] with
     ``T_out = Tpad - K + 1`` — ``out.reshape(B, 1, T_out*M)`` equals
-    ``interleave(flip(conv1d(reverse_half(x), w) * M))``.
+    ``interleave(flip(conv1d(reverse_half(x), w_full) * M))`` when
+    Mb == M.
     """
-    B, M, Tpad = x.shape
-    K = w.shape[-1]
+    B, Mb, Tpad = x.shape
+    M, Mw, K = w.shape
     assert supports(M)
+    if Mw != Mb:
+        raise ValueError(f"band dims disagree: x has {Mb}, bank has {Mw}")
+    if fuse_mask and Mb % 2:
+        raise ValueError("band shards must be even-sized (sign-mask parity)")
     T_out = Tpad - K + 1
     L = K
-    Tt, nt = _tile(tile, L, M, T_out)
+    if L > 128:
+        raise ValueError(
+            f"halo L={L} wider than one lane tile; gate with supports()")
+    Mb_pad = -(-Mb // 8) * 8  # sublane-aligned frame row groups
+    Tt, nt = _tile(tile, L, Mb_pad, T_out)
     win = Tt + -(-L // 128) * 128
-    assert L <= 128
 
     need = (nt - 1) * Tt + win
-    if need > Tpad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, need - Tpad)))
+    x = jnp.pad(x, ((0, 0), (0, Mb_pad - Mb), (0, max(0, need - Tpad))))
 
-    v2 = M * jnp.flip(w, axis=0)  # band flip + gain into weights
-    v2 = jnp.transpose(v2, (0, 2, 1)).reshape(M, L * M)
-    # v2[c, l*M + m] = M * w[M-1-c, m, l]; frames[l*M+m, t] = x[m, t+l]
+    v2 = M * jnp.flip(w, axis=0)  # phase flip + full-M gain into weights
+    v2 = jnp.transpose(v2, (0, 2, 1))  # [M, L, Mb]
+    if Mb_pad > Mb:
+        v2 = jnp.pad(v2, ((0, 0), (0, 0), (0, Mb_pad - Mb)))
+    v2 = v2.reshape(M, L * Mb_pad)
+    # v2[c, l*Mb + m] = M * w[M-1-c, m, l]; frames[l*Mb+m, t] = x[m, t+l]
 
     out = pl.pallas_call(
         functools.partial(
-            _syn_kernel, M=M, L=L, Tt=Tt,
+            _syn_kernel, M=Mb_pad, Mout=M, L=L, Tt=Tt,
             in_mask_parity=(x_offset % 2) if fuse_mask else None),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((M, L * M), lambda b, i: (0, 0),
+            pl.BlockSpec((M, L * Mb_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Tt, M), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nt * Tt, M), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((M, win), x.dtype),
-            pltpu.VMEM((L * M, Tt), x.dtype),
+            pltpu.VMEM((Mb_pad, win), x.dtype),
+            pltpu.VMEM((L * Mb_pad, Tt), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_should_interpret(interpret),

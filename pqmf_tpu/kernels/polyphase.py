@@ -54,9 +54,21 @@ def pallas_available() -> bool:
         return False
 
 
-def supports(n_band: int) -> bool:
-    """Shape constraint for the native kernels (sublane-aligned stores)."""
-    return n_band % 8 == 0
+def supports(n_band: int, halos=()) -> bool:
+    """Shape constraints for the native kernels.
+
+    - ``n_band % 8 == 0``: the im2col scratch stores are sublane-aligned
+      per phase row group (f32 sublane = 8).
+    - every halo ``L`` (taps per phase: P/M for the polyphase kernels,
+      ceil(K/M) / K for the cached analysis/synthesis convs) must fit in
+      one lane tile (<= 128); longer prototypes fall back to the lax path.
+
+    Auto-dispatch callers pass their geometry's halos so unsupported
+    shapes degrade to ``lax.conv`` instead of failing inside the kernel.
+    """
+    if n_band % 8:
+        return False
+    return all(int(h) <= 128 for h in halos)
 
 
 def _should_interpret(interpret):
@@ -91,7 +103,8 @@ def _build_frames(xw, frames_ref, M, L, Tt, mask_fn=None):
 # ---------------------------------------------------------------------------
 
 
-def _analysis_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, L, Tt):
+def _analysis_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, Mout, L,
+                     Tt):
     b = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -104,8 +117,8 @@ def _analysis_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, L, Tt):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [M, Tt]
-    out_ref[:] = (y * _sign_mask(M, Tt, 0, y.dtype))[None]
+    )  # [Mout, Tt]
+    out_ref[:] = (y * _sign_mask(Mout, Tt, 0, y.dtype))[None]
 
 
 @functools.partial(jax.jit,
@@ -114,21 +127,29 @@ def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
                        fuse_mask=True):
     """Fused polyphase analysis + reverse_half.
 
-    x: [B, 1, T] (T divisible by M); hk_poly: [M, M, L].
-    Returns [B, M, T/M] — equal to
-    ``reverse_half(polyphase_forward(x, hk_poly))``.
+    x: [B, 1, T] (T divisible by M); hk_poly: [Mb, M, L] where M is the
+    phase count (= full band count) and Mb the output bands computed here.
+    Mb == M offline; under a band-sharded mesh each device passes its
+    even-sized row shard of the bank (Mb must be even so the local band
+    parity of the fused sign mask equals the global one).
+    Returns [B, Mb, T/M] — equal to
+    ``reverse_half(polyphase_forward(x, hk_poly))[:, :Mb]``.
     """
     B, _, T = x.shape
-    M, _, L = hk_poly.shape
+    Mb, M, L = hk_poly.shape
+    if L > 128:
+        raise ValueError(
+            f"halo L={L} wider than one lane tile; gate with supports()")
+    if Mb % 2:
+        raise ValueError("band shards must be even-sized (sign-mask parity)")
     Tm = T // M
     cap = max(128, _FRAMES_VMEM_BYTES // (L * M * 4))
     Tt = int(min(tile, cap, max(128, 1 << (Tm - 1).bit_length())))
     nt = -(-Tm // Tt)
-    pad_t = nt * Tt - Tm
     # DMA window: halo rounded up so slice sizes/offsets are 128-aligned
     # (Mosaic requires it when the compiler places the input in VMEM)
     win = Tt + -(-L // 128) * 128
-    assert L <= 128, "halo wider than one lane tile is unsupported"
+    Mb_pad = -(-Mb // 8) * 8  # sublane-aligned output rows
 
     # de-interleave "b c (t m) -> b m t" + halo pad: ONE aligned pass
     xp = x[:, 0, :].reshape(B, Tm, M)
@@ -137,19 +158,21 @@ def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
                       (L // 2, (nt - 1) * Tt + win - Tm - L // 2)))
 
     # W2[c, l*M + m] = hk_poly[c, m, l]
-    w2 = jnp.transpose(hk_poly, (0, 2, 1)).reshape(M, L * M)
+    w2 = jnp.transpose(hk_poly, (0, 2, 1)).reshape(Mb, L * M)
+    if Mb_pad > Mb:
+        w2 = jnp.pad(w2, ((0, Mb_pad - Mb), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_analysis_kernel, M=M, L=L, Tt=Tt),
+        functools.partial(_analysis_kernel, M=M, Mout=Mb_pad, L=L, Tt=Tt),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((M, L * M), lambda b, i: (0, 0),
+            pl.BlockSpec((Mb_pad, L * M), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, Tt), lambda b, i: (b, 0, i),
+        out_specs=pl.BlockSpec((1, Mb_pad, Tt), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, nt * Tt), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Mb_pad, nt * Tt), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((M, win), x.dtype),
             pltpu.VMEM((L * M, Tt), x.dtype),
@@ -157,7 +180,7 @@ def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
         ],
         interpret=_should_interpret(interpret),
     )(xp, w2)
-    out = out[..., :Tm]
+    out = out[:, :Mb, :Tm]
     if not fuse_mask:  # undo (for callers wanting the raw conv)
         from pqmf_tpu.ops.filterbank import reverse_half
 
@@ -170,7 +193,8 @@ def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
 # ---------------------------------------------------------------------------
 
 
-def _synthesis_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, L, Tt):
+def _synthesis_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, Mout, L,
+                      Tt):
     b = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -187,7 +211,7 @@ def _synthesis_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, L, Tt):
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [Tt, M]
+    )  # [Tt, Mout]
     out_ref[:] = y[None]
 
 
@@ -195,40 +219,54 @@ def _synthesis_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, L, Tt):
 def polyphase_synthesis(x, hk_ipoly, tile=DEFAULT_TILE, interpret=None):
     """Fused reverse_half + polyphase synthesis.
 
-    x: [B, M, T'] sub-bands; hk_ipoly: [M, M, L].
+    x: [B, Mb, T'] sub-bands; hk_ipoly: [M, Mb, L] with M the phase count
+    (= full band count; also the reference's ``*M`` gain) and Mb the bands
+    contracted here. Mb == M offline; under a band-sharded mesh each
+    device passes its even-sized band shard of x and of the bank's band
+    axis, and psums the partial outputs over the band axis.
     Returns [B, 1, M*T'] — equal to
-    ``polyphase_inverse(reverse_half(x), hk_ipoly)``.
+    ``polyphase_inverse(reverse_half(x), hk_ipoly)`` when Mb == M.
     """
-    B, M, Tp = x.shape
-    L = hk_ipoly.shape[-1]
-    cap = max(128, _FRAMES_VMEM_BYTES // (L * M * 4))
+    B, Mb, Tp = x.shape
+    M, Mw, L = hk_ipoly.shape
+    if Mw != Mb:
+        raise ValueError(f"band dims disagree: x has {Mb}, bank has {Mw}")
+    if L > 128:
+        raise ValueError(
+            f"halo L={L} wider than one lane tile; gate with supports()")
+    if Mb % 2:
+        raise ValueError("band shards must be even-sized (sign-mask parity)")
+    Mb_pad = -(-Mb // 8) * 8  # sublane-aligned frame row groups
+    cap = max(128, _FRAMES_VMEM_BYTES // (L * Mb_pad * 4))
     Tt = int(min(tile, cap, max(128, 1 << (Tp - 1).bit_length())))
     nt = -(-Tp // Tt)
     win = Tt + -(-L // 128) * 128
-    assert L <= 128, "halo wider than one lane tile is unsupported"
 
     # final[c, t] = M * sum_{m,l} hk_ipoly[M-1-c, m, l] *
     #              reverse_half(x)[m, t + l - (L//2 - 1)]
-    xq = jnp.pad(x, ((0, 0), (0, 0),
+    xq = jnp.pad(x, ((0, 0), (0, Mb_pad - Mb),
                      (L // 2 - 1,
                       win - (L // 2 - 1) + (nt - 1) * Tt - Tp)))
-    v2 = M * jnp.flip(hk_ipoly, axis=0)
-    v2 = jnp.transpose(v2, (0, 2, 1)).reshape(M, L * M)
+    v2 = M * jnp.flip(hk_ipoly, axis=0)  # phase flip; gain = full M
+    v2 = jnp.transpose(v2, (0, 2, 1))  # [M, L, Mb]
+    if Mb_pad > Mb:
+        v2 = jnp.pad(v2, ((0, 0), (0, 0), (0, Mb_pad - Mb)))
+    v2 = v2.reshape(M, L * Mb_pad)
 
     out = pl.pallas_call(
-        functools.partial(_synthesis_kernel, M=M, L=L, Tt=Tt),
+        functools.partial(_synthesis_kernel, M=Mb_pad, Mout=M, L=L, Tt=Tt),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((M, L * M), lambda b, i: (0, 0),
+            pl.BlockSpec((M, L * Mb_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Tt, M), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nt * Tt, M), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((M, win), x.dtype),
-            pltpu.VMEM((L * M, Tt), x.dtype),
+            pltpu.VMEM((Mb_pad, win), x.dtype),
+            pltpu.VMEM((L * Mb_pad, Tt), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_should_interpret(interpret),

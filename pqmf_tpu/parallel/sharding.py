@@ -14,11 +14,14 @@ collectives (the synthesis conv contracts over the band axis, so an
 all-gather of the shifted bands appears exactly once, at the end of the
 fused program). DCN/multi-host is out of scope, matching the survey.
 
-Note: the Pallas kernels carry no custom partitioning rules yet; under a
-multi-device mesh XLA replicates them (correct, but without band-parallel
-speedup inside the conv). For real multi-chip runs construct the wrapper
-with ``use_pallas=False`` (the lax convs partition natively) until
-shard_map-wrapped kernels land.
+The Pallas kernels partition too: when the wrapper's filterbank runs the
+Pallas path, :class:`ShardedPitchShift` hands the mesh to
+``StreamingPQMF``, which wraps the kernels in ``shard_map`` over the
+band axis (each device runs its even-sized band shard of the bank;
+synthesis psums the partial outputs) — see
+``pqmf_tpu.streaming._shard_analysis_call`` /
+``_shard_synthesis_call``. Odd band shards (band axis > n_band/2) fall
+back to replicated kernels, which stay correct.
 """
 
 from __future__ import annotations
@@ -60,6 +63,16 @@ class ShardedPitchShift:
     def __init__(self, wrapper, mesh: Mesh):
         self.wrapper = wrapper
         self.mesh = mesh
+        # Band-partition the Pallas kernels under this mesh (shard_map —
+        # XLA cannot partition a pallas_call on its own). Meshes whose
+        # band axis would give odd per-device shards keep mesh=None there:
+        # the kernels replicate, which is correct, just not band-parallel.
+        pq = wrapper.pqmf
+        if pq.use_pallas and pq.mesh is None:
+            try:
+                pq.mesh = pq._check_mesh(mesh)
+            except ValueError:
+                pass
         self._x_s = NamedSharding(mesh, P("data", None, None))
         self._tail_s = NamedSharding(mesh, P("band", None))
         self._y_s = NamedSharding(mesh, P("data", None))

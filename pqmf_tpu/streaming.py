@@ -90,9 +90,70 @@ def offline_conv(x: jax.Array, w: jax.Array, stride: int = 1,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mode", "precision", "use_pallas"))
+def shard_map_nocheck(f, mesh, in_specs, out_specs):
+    """``shard_map`` with varying-mesh-axes checking off — ``pallas_call``
+    outputs carry no vma metadata, so the checker rejects them (the psum
+    placement is asserted by the equality tests instead)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax keeps it in experimental
+        from jax.experimental.shard_map import shard_map
+
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def _shard_analysis_call(mesh, xx, hkf, M):
+    """Band-partitioned Pallas analysis under ``shard_map``: every device
+    computes its row shard of the bank from the (batch-sharded, band-
+    replicated) padded signal. Manual SPMD — XLA cannot partition a
+    pallas_call on its own."""
+    from jax.sharding import PartitionSpec as P
+
+    from pqmf_tpu.kernels import cached_conv as cc
+
+    data_ax, band_ax = mesh.axis_names
+    dspec = data_ax if xx.shape[0] % mesh.shape[data_ax] == 0 else None
+
+    def local(xx_l, w_l):
+        return cc.strided_analysis_conv(xx_l, w_l, M)
+
+    return shard_map_nocheck(
+        local, mesh,
+        in_specs=(P(dspec, None, None), P(band_ax, None, None)),
+        out_specs=P(dspec, band_ax, None))(xx, hkf)
+
+
+def _shard_synthesis_call(mesh, xx, hki, fuse_mask, x_offset=0):
+    """Band-partitioned Pallas synthesis: each device contracts its band
+    shard (of the signal and of the bank's band axis) and the partial
+    outputs are summed over the band axis — the one ICI collective of the
+    round-trip, matching the lax path's GSPMD choice."""
+    from jax.sharding import PartitionSpec as P
+
+    from pqmf_tpu.kernels import cached_conv as cc
+
+    data_ax, band_ax = mesh.axis_names
+    dspec = data_ax if xx.shape[0] % mesh.shape[data_ax] == 0 else None
+
+    def local(xx_l, w_l):
+        y = cc.dense_synthesis_conv(xx_l, w_l, fuse_mask=fuse_mask,
+                                    x_offset=x_offset)
+        return jax.lax.psum(y, band_ax)
+
+    return shard_map_nocheck(
+        local, mesh,
+        in_specs=(P(dspec, band_ax, None), P(None, band_ax, None)),
+        out_specs=P(dspec, None, None))(xx, hki)
+
+
+@partial(jax.jit, static_argnames=("mode", "precision", "use_pallas", "mesh"))
 def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
-                     use_pallas=False):
+                     use_pallas=False, mesh=None):
     """CachedPQMF.forward (pqmf.py:339-343): strided 1->M conv, sign mask."""
     M = hkf.shape[0]
     if use_pallas:
@@ -109,6 +170,8 @@ def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
         else:
             xx = jnp.concatenate([state, x], axis=-1)
             new_state = xx[..., xx.shape[-1] - (K - M):]
+        if mesh is not None:
+            return new_state, _shard_analysis_call(mesh, xx, hkf, M)
         return new_state, cc.strided_analysis_conv(xx, hkf, M)
     if mode == "offline":
         y = offline_conv(x, hkf, stride=M, causal=False, precision=precision)
@@ -122,31 +185,38 @@ def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
     return new_state, fb.reverse_half(y)
 
 
-@partial(jax.jit, static_argnames=("mode", "precision", "use_pallas"))
+@partial(jax.jit, static_argnames=("mode", "precision", "use_pallas", "mesh"))
 def _cached_synthesis(x, hki, state, mode="offline", precision="highest",
-                      use_pallas=False):
+                      use_pallas=False, mesh=None):
     """CachedPQMF.inverse (pqmf.py:345-354): sign mask, M->M conv * M,
     band flip, phase interleave."""
     M = hki.shape[0]
     if use_pallas:
         from pqmf_tpu.kernels import cached_conv as cc
 
+        def syn(xx, fuse_mask, x_offset=0):
+            if mesh is not None:
+                return _shard_synthesis_call(mesh, xx, hki, fuse_mask,
+                                             x_offset)
+            return cc.dense_synthesis_conv(xx, hki, fuse_mask=fuse_mask,
+                                           x_offset=x_offset)
+
         K = hki.shape[-1]
         if mode == "offline":
             sl, sr = centered_padding(K, 1)
             xx = jnp.pad(x, ((0, 0), (0, 0), (sl, sr)))
-            y = cc.dense_synthesis_conv(xx, hki, x_offset=-sl)
+            y = syn(xx, True, x_offset=-sl)
             new_state = state
         elif mode == "causal":
             xx = jnp.pad(x, ((0, 0), (0, 0), (K - 1, 0)))
-            y = cc.dense_synthesis_conv(xx, hki, x_offset=-(K - 1))
+            y = syn(xx, True, x_offset=-(K - 1))
             new_state = state
         else:
             # block-local sign mask first (the carried tail keeps the
             # previous block's masked samples, like the lax path)
             xx = jnp.concatenate([state, fb.reverse_half(x)], axis=-1)
             new_state = xx[..., xx.shape[-1] - (K - 1):]
-            y = cc.dense_synthesis_conv(xx, hki, fuse_mask=False)
+            y = syn(xx, False)
         B = y.shape[0]
         return new_state, y.reshape(B, 1, -1)
     x = fb.reverse_half(x)
@@ -184,17 +254,12 @@ class StreamingPQMF:
     """
 
     def __init__(self, attenuation: float, n_band: int,
-                 precision: str = "highest", use_pallas="auto"):
+                 precision: str = "highest", use_pallas="auto", mesh=None):
         power = math.log2(n_band)
         assert power == math.floor(power), "n_band must be a power of 2"
         self.n_band = n_band
         self.attenuation = attenuation
         self.precision = precision
-        if use_pallas == "auto":
-            from pqmf_tpu.kernels import polyphase as _pk
-
-            use_pallas = _pk.pallas_available() and _pk.supports(n_band)
-        self.use_pallas = bool(use_pallas)
 
         params = fb.build_filterbank(attenuation, n_band)
         self.params = params
@@ -208,6 +273,15 @@ class StreamingPQMF:
 
         self.hkf = jnp.asarray(hkf)
         self.hki = jnp.asarray(hki)
+
+        halos = (-(-hkf.shape[-1] // M), hki.shape[-1])
+        if use_pallas == "auto":
+            from pqmf_tpu.kernels import polyphase as _pk
+
+            use_pallas = _pk.pallas_available() and _pk.supports(n_band,
+                                                                 halos)
+        self.use_pallas = bool(use_pallas)
+        self.mesh = self._check_mesh(mesh) if self.use_pallas else mesh
 
         # Latency bookkeeping (cached_conv's cumulative_delay analog), in
         # full-rate samples, verified empirically in tests/test_streaming.py:
@@ -223,6 +297,22 @@ class StreamingPQMF:
         self.centered_advance = self.hkf.shape[-1] // 2 - a_left
         self.latency_samples = self.stream_vs_centered_delay + self.centered_advance
 
+    def _check_mesh(self, mesh):
+        """Validate a (data, band) mesh for the band-partitioned Pallas
+        path: the band axis must divide n_band into even shards (the fused
+        sign mask needs local band parity == global)."""
+        if mesh is None:
+            return None
+        if len(mesh.axis_names) != 2:
+            raise ValueError(
+                f"expected a 2-axis (data, band) mesh, got {mesh.axis_names}")
+        band = mesh.shape[mesh.axis_names[1]]
+        if self.n_band % band or (self.n_band // band) % 2:
+            raise ValueError(
+                f"band axis size {band} must divide n_band={self.n_band} "
+                f"into even shards for the Pallas kernels")
+        return mesh
+
     # -- offline (centered) ------------------------------------------------
 
     def forward(self, x):
@@ -231,7 +321,7 @@ class StreamingPQMF:
             return x
         _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="offline",
                                 precision=self.precision,
-                                use_pallas=self.use_pallas)
+                                use_pallas=self.use_pallas, mesh=self.mesh)
         return y
 
     def inverse(self, x):
@@ -242,7 +332,7 @@ class StreamingPQMF:
             return x
         _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="offline",
                                  precision=self.precision,
-                                 use_pallas=self.use_pallas)
+                                 use_pallas=self.use_pallas, mesh=self.mesh)
         return y
 
     # -- streaming ----------------------------------------------------------
@@ -258,7 +348,7 @@ class StreamingPQMF:
         x = self._norm(x)
         new, y = _cached_analysis(x, self.hkf, state["analysis"],
                                   mode="streaming", precision=self.precision,
-                                  use_pallas=self.use_pallas)
+                                  use_pallas=self.use_pallas, mesh=self.mesh)
         return {**state, "analysis": new}, y
 
     def inverse_block(self, state: dict, x):
@@ -267,7 +357,7 @@ class StreamingPQMF:
             x = x[None]
         new, y = _cached_synthesis(x, self.hki, state["synthesis"],
                                    mode="streaming", precision=self.precision,
-                                   use_pallas=self.use_pallas)
+                                   use_pallas=self.use_pallas, mesh=self.mesh)
         return {**state, "synthesis": new}, y
 
     def process_block(self, state: dict, x):
@@ -282,7 +372,7 @@ class StreamingPQMF:
         x = self._norm(x)
         _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="causal",
                                 precision=self.precision,
-                                use_pallas=self.use_pallas)
+                                use_pallas=self.use_pallas, mesh=self.mesh)
         return y
 
     def inverse_causal(self, x):
@@ -291,7 +381,7 @@ class StreamingPQMF:
             x = x[None]
         _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="causal",
                                  precision=self.precision,
-                                 use_pallas=self.use_pallas)
+                                 use_pallas=self.use_pallas, mesh=self.mesh)
         return y
 
     @staticmethod
