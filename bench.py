@@ -9,6 +9,13 @@ vs_baseline: our RTF divided by the PyTorch-CPU RTF of the same polyphase
 round trip (measured inline with the torch oracle from tests/oracles.py —
 the reference publishes no numbers, BASELINE.md, so its own compute path
 on CPU torch is the comparison floor).
+
+Timing method: every on-chip number chains N applications inside ONE
+jitted program (lax.fori_loop / lax.scan) and divides, because the chip
+sits behind a ~25 ms-per-dispatch tunnel on this setup. The single
+remaining dispatch per measurement is corrected by the dispatch floor
+MEASURED in the same window (utils.profiling.dispatch_floor_ms — no
+hardcoded constants); raw and corrected values are both reported.
 """
 
 from __future__ import annotations
@@ -32,6 +39,15 @@ def _signal(n):
     x = (0.5 * np.sin(2 * np.pi * 440 * t)
          + 0.1 * rng.standard_normal(n).astype(np.float32))
     return x
+
+
+def _best_seconds(call, repeats=3):
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        call()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_jax(x, chain=50):
@@ -58,11 +74,7 @@ def bench_jax(x, chain=50):
     xb = jnp.asarray(x)[None, None, :]
     y = jax.block_until_ready(roundtrip(xb))
     float(chained(xb).sum())  # compile + sync
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(chained(xb).sum())
-        best = min(best, time.perf_counter() - t0)
+    best = _best_seconds(lambda: float(chained(xb).sum()), REPEATS)
     per_call = best / chain
     snr = 10 * np.log10(float(np.sum(x ** 2))
                         / float(np.sum((np.asarray(y)[0, 0] - x) ** 2)))
@@ -83,15 +95,23 @@ def bench_torch(x):
         return torch_polyphase_inverse(np.asarray(reverse_half(s)), hk)
 
     roundtrip(xb)  # warm up
-    best = float("inf")
-    for _ in range(max(2, REPEATS // 2)):
-        t0 = time.perf_counter()
-        roundtrip(xb)
-        best = min(best, time.perf_counter() - t0)
+    best = _best_seconds(lambda: roundtrip(xb), max(2, REPEATS // 2))
     return (len(x) / SR) / best
 
 
-def bench_pitchshift(n_blocks=64):
+def _scan_rtf(make_run, n_blocks, samples_per_block, floor_s):
+    """RTF of a scan-over-blocks program: per-block time is the chained
+    total minus the measured single-dispatch floor, clamped positive."""
+    run = make_run()
+    run()  # compile + sync
+    best = _best_seconds(run, 3)
+    per_block_raw = best / n_blocks
+    per_block = max(best - floor_s, 1e-9) / n_blocks
+    return ((samples_per_block / SR) / per_block,
+            (samples_per_block / SR) / per_block_raw)
+
+
+def bench_pitchshift(floor_s, n_blocks=64):
     """Flagship per-subband phase-vocoder pitch shift: ms per 8192-sample
     block, measured as a lax.scan over n_blocks blocks (carried crossfade
     state), one dispatch."""
@@ -104,24 +124,47 @@ def bench_pitchshift(n_blocks=64):
     blocks = jnp.asarray(
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, 1, 1, 8192)).astype(np.float32))
+    state = w.init_state()
 
     @jax.jit
     def run(state, blocks):
         return jax.lax.scan(
             lambda s, b: w.pitchshift_fn(s, b), state, blocks)
 
-    state = w.init_state()
-    float(run(state, blocks)[1].sum())  # compile + sync
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(state, blocks)[1].sum())
-        best = min(best, time.perf_counter() - t0)
-    per_block = (best - 0.025) / n_blocks
-    return (8192 / SR) / per_block
+    return _scan_rtf(lambda: (lambda: float(run(state, blocks)[1].sum())),
+                     n_blocks, 8192, floor_s)
 
 
-def bench_streams(n_streams=16, n_blocks=16):
+def bench_ta_pitchshift(floor_s, n_blocks=32):
+    """Torchaudio-variant per-band pitch shift (fused single-program path):
+    stateless, scanned over n_blocks 8192-sample blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    w = PQMFPitchShiftWrapperTA(ATTEN, N_BAND, 8192, SR)
+    blocks = jnp.asarray(
+        0.1 * np.random.default_rng(0).standard_normal(
+            (n_blocks, 1, 1, 8192)).astype(np.float32))
+    plan = w._ta_plan(8192 // N_BAND)
+    args = tuple(jnp.asarray(a) for a in plan[:6])
+    FO_max, pad_left, Lbuf = plan[6:]
+
+    @jax.jit
+    def run(blocks):
+        def step(_, b):
+            y = w._pitchshifter_impl(b, *args, FO_max=FO_max,
+                                     pad_left=pad_left, Lbuf=Lbuf)
+            return 0, y
+
+        return jax.lax.scan(step, 0, blocks)[1]
+
+    return _scan_rtf(lambda: (lambda: float(run(blocks).sum())),
+                     n_blocks, 8192, floor_s)
+
+
+def bench_streams(floor_s, n_streams=16, n_blocks=16):
     """Multi-stream serving: aggregate realtime factor for n_streams
     concurrent pitch-shift streams, each with its own crossfade state."""
     import jax
@@ -133,21 +176,17 @@ def bench_streams(n_streams=16, n_blocks=16):
     blocks = jnp.asarray(
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, n_streams, 8192)).astype(np.float32))
+    states = w.init_streams(n_streams)
 
     @jax.jit
     def run(states, blocks):
         return jax.lax.scan(
             lambda s, b: w.pitchshift_streams(s, b), states, blocks)
 
-    states = w.init_streams(n_streams)
-    float(run(states, blocks)[1].sum())
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(states, blocks)[1].sum())
-        best = min(best, time.perf_counter() - t0)
-    per_block = (best - 0.025) / n_blocks
-    return n_streams * (8192 / SR) / per_block
+    rtf, rtf_raw = _scan_rtf(
+        lambda: (lambda: float(run(states, blocks)[1].sum())),
+        n_blocks, 8192, floor_s)
+    return n_streams * rtf, n_streams * rtf_raw
 
 
 def main():
@@ -158,14 +197,22 @@ def main():
         rtf_ref = bench_torch(x)
     except Exception:
         rtf_ref = None
-    try:
-        rtf_ps = bench_pitchshift()
-    except Exception:
-        rtf_ps = None
-    try:
-        rtf_streams = bench_streams()
-    except Exception:
-        rtf_streams = None
+
+    from pqmf_tpu.utils.profiling import dispatch_floor_ms
+
+    floor_ms = dispatch_floor_ms()
+    floor_s = floor_ms / 1e3
+    results = {}
+    for name, fn in (("pitchshift", bench_pitchshift),
+                     ("ta_pitchshift", bench_ta_pitchshift),
+                     ("serving_16stream_aggregate", bench_streams)):
+        try:
+            corrected, raw = fn(floor_s)
+            results[f"{name}_rtf"] = round(corrected, 1)
+            results[f"{name}_rtf_raw"] = round(raw, 1)
+        except Exception:
+            results[f"{name}_rtf"] = None
+
     vs = (rtf / rtf_ref) if rtf_ref else 1.0
     print(json.dumps({
         "metric": "pqmf_roundtrip_rtf",
@@ -176,9 +223,8 @@ def main():
             "platform": platform,
             "roundtrip_snr_db": round(snr, 2),
             "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
-            "pitchshift_rtf": round(rtf_ps, 1) if rtf_ps else None,
-            "serving_16stream_aggregate_rtf":
-                round(rtf_streams, 1) if rtf_streams else None,
+            "dispatch_floor_ms": round(floor_ms, 2),
+            **results,
             "seconds_of_audio": SECONDS,
             "n_band": N_BAND,
             "attenuation": ATTEN,

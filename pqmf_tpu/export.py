@@ -70,6 +70,10 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
             "attenuation": wrapper.attenuation,
             "n_band": wrapper.n_band,
             "m_buffer_size": wrapper.m_buffer_size,
+            # output-changing knobs MUST round-trip: a wrapper exported
+            # with phase_rule='accumulate' or precision='default' would
+            # otherwise silently reload with different audio
+            "precision": wrapper.pqmf.precision,
         },
         "methods": wrapper.get_methods(),
         "attributes": wrapper.get_attributes(),
@@ -81,6 +85,7 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
     if isinstance(wrapper, PQMFPitchShiftWrapper):
         manifest["config"]["sample_rate"] = wrapper.sample_rate
         manifest["config"]["shifts_in_semitones"] = list(wrapper.shifts)
+        manifest["config"]["phase_rule"] = wrapper.phase_rule
         manifest["state_spec"] = {
             "prev_tail": [wrapper.n_band, wrapper.band_overlap]}
         np.savez(os.path.join(path, "state.npz"),
@@ -91,15 +96,23 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
 
     np.savez(os.path.join(path, "weights.npz"), **_weights_of(wrapper))
 
-    if with_stablehlo and isinstance(wrapper, PQMFPitchShiftWrapper):
+    if with_stablehlo:
+        if not isinstance(wrapper, PQMFPitchShiftWrapper):
+            raise ValueError(
+                "with_stablehlo=True is only supported for "
+                f"PQMFPitchShiftWrapper, not {kind}")
         T = example_length or wrapper.m_buffer_size
         try:
             blob = export_stablehlo(wrapper, T)
-            with open(os.path.join(path, "pitchshift.jaxexport"), "wb") as f:
-                f.write(blob)
-            manifest["stablehlo"] = {"pitchshift": {"length": T}}
-        except Exception as e:  # platform may not support export
-            manifest["stablehlo_error"] = str(e)[:200]
+        except Exception as e:
+            # the caller asked for an AOT artifact; a silent downgrade
+            # would ship an artifact that retraces on load
+            raise RuntimeError(
+                f"StableHLO export requested but failed on platform "
+                f"{jax.default_backend()!r}") from e
+        with open(os.path.join(path, "pitchshift.jaxexport"), "wb") as f:
+            f.write(blob)
+        manifest["stablehlo"] = {"pitchshift": {"length": T}}
 
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -132,6 +145,18 @@ def load_artifact(path: str):
     cfg = manifest["config"]
     kind = manifest["kind"]
 
+    known = {"attenuation", "n_band", "m_buffer_size", "precision",
+             "sample_rate", "shifts_in_semitones", "phase_rule"}
+    unknown = set(cfg) - known
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"artifact config keys {sorted(unknown)} are not understood by "
+            f"this framework version ({__version__}); the reloaded wrapper "
+            f"may differ from the exported one", stacklevel=2)
+
+    precision = cfg.get("precision", "highest")
     if kind == "PQMFWrapper":
         wrapper = PQMFWrapper.__new__(PQMFWrapper)
         _init_wrapper_from_weights(wrapper, cfg, weights, manifest)
@@ -140,6 +165,8 @@ def load_artifact(path: str):
             cfg["attenuation"], cfg["n_band"], cfg["m_buffer_size"],
             cfg.get("sample_rate", 44100),
             cfg.get("shifts_in_semitones"),
+            precision=precision,
+            phase_rule=cfg.get("phase_rule", "reference"),
         )
         _restore_pqmf_weights(wrapper.pqmf, weights)
         state_path = os.path.join(path, "state.npz")
@@ -151,6 +178,7 @@ def load_artifact(path: str):
             cfg["attenuation"], cfg["n_band"], cfg["m_buffer_size"],
             cfg.get("sample_rate", 44100),
             cfg.get("shifts_in_semitones"),
+            precision=precision,
         )
         _restore_pqmf_weights(wrapper.pqmf, weights)
     else:
@@ -172,7 +200,8 @@ def _restore_pqmf_weights(pqmf, weights):
 def _init_wrapper_from_weights(wrapper, cfg, weights, manifest):
     # construct normally (design chain is memoized) then override weights
     wrapper.__init__(cfg["attenuation"], cfg["n_band"],
-                     cfg["m_buffer_size"])
+                     cfg["m_buffer_size"],
+                     precision=cfg.get("precision", "highest"))
     _restore_pqmf_weights(wrapper.pqmf, weights)
 
 

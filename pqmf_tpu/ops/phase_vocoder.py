@@ -101,6 +101,11 @@ def stretch_accumulate(re: jax.Array, im: jax.Array, rate: jax.Array,
     t = jnp.arange(frames_out, dtype=jnp.float32) * rate
     t0 = jnp.floor(t).astype(jnp.int32)
     alphas = (t - t0.astype(jnp.float32))[None, None, :]
+    # clamp into the padded spec (jnp.take fills out-of-bounds with NaN):
+    # a no-op for in-range stretches (j*rate < frames by construction), and
+    # required when frames_out is a shared padded maximum across bands
+    # whose excess frames are masked downstream
+    t0 = jnp.minimum(t0, frames)
 
     r0 = jnp.take(re_p, t0, axis=-1)
     i0 = jnp.take(im_p, t0, axis=-1)

@@ -32,6 +32,7 @@ __all__ = [
     "interpolate_linear_static",
     "sinc_resample_kernel",
     "sinc_resample",
+    "banded_resample_plan",
 ]
 
 
@@ -149,6 +150,53 @@ def sinc_resample_kernel(orig_freq: int, new_freq: int,
         kernels = np.where(t == 0, 1.0, np.sin(np.pi * t) / (np.pi * t))
     kernels = (kernels * win * scale).astype(dtype)
     return kernels[:, None, :], width, orig_freq, new_freq
+
+
+def banded_resample_plan(orig_freq: int, new_freq: int, n_out: int,
+                         lowpass_filter_width: int = 6,
+                         rolloff: float = 0.99, window: str = "hann"):
+    """Row-sparse (banded) form of :func:`sinc_resample` for a fixed output
+    length (host-side NumPy, one-time per plan).
+
+    Each output sample of the polyphase windowed-sinc resampler reads only
+    the ~``2*width+1`` input taps under its sinc support, so the whole
+    resample is ``z[j] = sum_k W[j, k] * y[start[j] + k]`` — a gather plus
+    a tiny weighted sum that batches across sub-bands with *different*
+    ratios in ONE fused program (each band pads its W rows / start indices
+    to a common tap count). This is what lets the torchaudio-variant
+    pitch-shift pipeline run as a single XLA dispatch instead of 16
+    (reference per-band loop, PQMFPsWrapper.py:126-144).
+
+    Returns ``(W [n_out, K_taps], start [n_out] int32, width)`` with
+    ``start`` in *unpadded* input coordinates (may be negative down to
+    ``-width``; callers left-pad the input by >= width and offset).
+    Row ``j`` reproduces ``sinc_resample(y, orig, new)[..., j]`` exactly
+    for any input length T with ``j < ceil(T * new/orig)`` (taps beyond T
+    read zeros, matching the conv's zero padding); rows past the caller's
+    valid output length should be zeroed by the caller.
+    """
+    kernels, width, o, n = sinc_resample_kernel(
+        orig_freq, new_freq, lowpass_filter_width, rolloff, window)
+    kern = kernels[:, 0, :]  # [n, K], K = 2*width + o
+    K = kern.shape[-1]
+
+    # per used phase: nonzero span (the sinc support; everything outside
+    # is exactly zero because the cos^2 window vanishes at |t| = width)
+    used = sorted({j % n for j in range(n_out)})
+    spans = {}
+    for p in used:
+        nz = np.flatnonzero(kern[p] != 0.0)
+        spans[p] = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 1)
+    K_taps = max(hi - lo for lo, hi in spans.values())
+
+    W = np.zeros((n_out, K_taps), kern.dtype)
+    start = np.zeros((n_out,), np.int32)
+    for j in range(n_out):
+        s, p = divmod(j, n)
+        lo, hi = spans[p]
+        W[j, : hi - lo] = kern[p, lo:hi]
+        start[j] = s * o - width + lo
+    return W, start, width
 
 
 @partial(jax.jit, static_argnames=("orig_freq", "new_freq",

@@ -26,6 +26,7 @@ def _read_float_wav(path: str):
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", "not a RIFF/WAVE file"
     pos = 12
     fmt = None
+    fmt_body = b""
     frames = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -33,13 +34,23 @@ def _read_float_wav(path: str):
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             frames = body
         pos += 8 + size + (size % 2)
     if fmt is None or frames is None:
         raise ValueError("missing fmt/data chunk")
     tag, n_ch, sr, _, _, bits = fmt
-    if tag in (3, 0xFFFE) and bits == 32:
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes of
+        # the SubFormat GUID in the fmt extension (after cbSize at offset
+        # 16 and wValidBitsPerSample/dwChannelMask) — extensible PCM32
+        # must NOT be decoded as IEEE float
+        if len(fmt_body) >= 26:
+            (tag,) = struct.unpack("<H", fmt_body[24:26])
+        else:
+            raise ValueError("extensible WAV without SubFormat GUID")
+    if tag == 3 and bits == 32:
         x = np.frombuffer(frames, dtype="<f4").astype(np.float32)
     elif tag == 1:
         return _decode_pcm(frames, bits), n_ch, sr

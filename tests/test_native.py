@@ -63,3 +63,47 @@ def test_wav_io_uses_native(tmp_path):
     y, sr = read_wav(str(p))
     assert sr == 44100 and y.shape == x.shape
     assert np.abs(y - np.clip(x, -1, 1)).max() < 2.0 / 32768.0
+
+
+def _write_extensible_wav(path, payload, n_ch, sr, bits, sub_format,
+                          block_align, byte_rate):
+    """Minimal WAVE_FORMAT_EXTENSIBLE writer for the reader tests."""
+    import struct
+
+    guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    # wValidBitsPerSample, dwChannelMask, SubFormat GUID (code + tail)
+    ext = (struct.pack("<HI", bits, 0) + struct.pack("<H", sub_format)
+           + guid_tail)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, n_ch, sr, byte_rate, block_align,
+                      bits) + struct.pack("<H", len(ext)) + ext
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks)
+
+
+def test_extensible_wav_pcm32_not_decoded_as_float(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE must dispatch on the SubFormat GUID:
+    extensible PCM32 decodes as integers, extensible FLOAT as IEEE."""
+    from pqmf_tpu.utils.audio import read_wav
+
+    rng = np.random.default_rng(4)
+    x = np.clip(0.3 * rng.standard_normal(1024), -0.99, 0.99)
+
+    pcm = np.round(x.astype(np.float64) * 2147483648.0).astype("<i4")
+    p = tmp_path / "pcm32ext.wav"
+    _write_extensible_wav(str(p), pcm.tobytes(), 1, 44100, 32,
+                          sub_format=1, block_align=4, byte_rate=44100 * 4)
+    y, sr = read_wav(str(p))
+    assert sr == 44100
+    np.testing.assert_allclose(
+        y[0], pcm.astype(np.float64) / 2147483648.0, atol=1e-7)
+    x = x.astype(np.float32)
+
+    q = tmp_path / "floatext.wav"
+    _write_extensible_wav(str(q), x.astype("<f4").tobytes(), 1, 48000, 32,
+                          sub_format=3, block_align=4, byte_rate=48000 * 4)
+    z, sr2 = read_wav(str(q))
+    assert sr2 == 48000
+    np.testing.assert_array_equal(z[0], x)

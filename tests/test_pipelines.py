@@ -254,6 +254,26 @@ def test_ta_wrapper_runs_with_chromatic_default():
     assert np.isfinite(y).all()
 
 
+@pytest.mark.parametrize("n_band,buf,shifts", [
+    (16, 8192, None),  # the reference export config, chromatic defaults
+    (8, 2048, [0, -3, 5, 12, -7, 2, 1, -1]),
+    (16, 8192, [3.2, -48.5, 12.3, 0, 7, -24, 1, 2,
+                3, 4, 5, 6, -6, -12, 9, -30]),  # PQMFPsWrapper.py:157 range
+])
+def test_ta_fused_matches_per_band_loop(n_band, buf, shifts):
+    """The fused one-dispatch TA pipeline equals the literal per-band loop
+    (the reference's structure, PQMFPsWrapper.py:126-144) to >90 dB."""
+    w = PQMFPitchShiftWrapperTA(100, n_band, buf,
+                                shifts_in_semitones=shifts)
+    x = np.random.default_rng(11).standard_normal(
+        (2, 1, buf)).astype(np.float32) * 0.3
+    y_loop = np.asarray(w.pitchshifter_loop(x))
+    y_fused = np.asarray(w.pitchshifter(x))
+    err = ((y_fused - y_loop) ** 2).sum()
+    snr = 10 * np.log10(max((y_loop ** 2).sum(), 1e-30) / max(err, 1e-30))
+    assert snr > 90, f"fused-vs-loop parity only {snr:.1f} dB"
+
+
 def test_multi_stream_states_match_independent_streams():
     """pitchshift_streams == running each stream separately with its own
     crossfade state (the reference can't do this at all: batch>1 disables
