@@ -66,6 +66,80 @@ def test_committed_goldens_readable_and_sane(name):
     assert 1e-4 < rms < 1.0
 
 
+# ---------------------------------------------------------------------------
+# OUR seeded goldens (tests/goldens/, regenerable via tools/make_goldens.py):
+# deterministic shifts + flute input, committed outputs. A kernel or DSP
+# numerics regression flips these even while the SNR floors above still pass.
+# ---------------------------------------------------------------------------
+
+import os
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+SHIFTS16 = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+GOLDEN_TOL = 1e-5
+
+
+def _flute_blocks(n_blocks, block):
+    x, sr = _load(f"{REF}/audio/flute.wav")
+    return x[0, 44100: 44100 + n_blocks * block].reshape(
+        n_blocks, 1, 1, block)
+
+
+def test_golden_pvoc_pitchshift_two_blocks():
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    g = np.load(os.path.join(GOLD, "pvoc_pitchshift.npz"))
+    np.testing.assert_array_equal(g["shifts"], SHIFTS16)
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS16)
+    state = w.init_state()
+    outs = []
+    for b in _flute_blocks(2, 8192):
+        state, y = w.pitchshift_fn(state, b)
+        outs.append(np.asarray(y)[0])
+    np.testing.assert_allclose(np.stack(outs), g["y"], atol=GOLDEN_TOL)
+    np.testing.assert_allclose(np.asarray(state["prev_tail"]), g["tail"],
+                               atol=GOLDEN_TOL)
+
+
+def test_golden_ta_pitchshift():
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    g = np.load(os.path.join(GOLD, "ta_pitchshift.npz"))
+    w = PQMFPitchShiftWrapperTA(100, 16, 8192, 44100, SHIFTS16)
+    y = np.asarray(w.pitchshifter(_flute_blocks(1, 8192)[0]))[0]
+    np.testing.assert_allclose(y, g["y"], atol=GOLDEN_TOL)
+
+
+def test_golden_blocks_stream():
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
+
+    g = np.load(os.path.join(GOLD, "blocks_stream.npz"))
+    xs = _flute_blocks(3, 8192).reshape(1, -1)
+    w = PQMFPitchShiftWrapper(100, 16, 4096, 44100, SHIFTS16)
+    pitch, recon = stream_ola(w, xs, block=4096)
+    np.testing.assert_allclose(np.asarray(pitch)[0], g["pitch"],
+                               atol=GOLDEN_TOL)
+    np.testing.assert_allclose(np.asarray(recon)[0], g["recon"],
+                               atol=GOLDEN_TOL)
+
+
+def test_golden_pqmf_roundtrip():
+    from pqmf_tpu import PQMF
+
+    g = np.load(os.path.join(GOLD, "pqmf_roundtrip.npz"))
+    pq = PQMF(100, 16, use_pallas=False)
+    xr = _flute_blocks(1, 8192).reshape(1, 1, -1)
+    sub = np.asarray(pq.forward(xr))
+    rec = np.asarray(pq.inverse(sub))
+    np.testing.assert_allclose(sub[0], g["sub"], atol=GOLDEN_TOL)
+    np.testing.assert_allclose(rec[0], g["rec"], atol=GOLDEN_TOL)
+    # the Pallas path must hit the same golden (kernel regressions flip
+    # this even when lax stays correct)
+    pq_pal = PQMF(100, 16, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(pq_pal.forward(xr))[0], g["sub"],
+                               atol=GOLDEN_TOL)
+
+
 @pytest.mark.parametrize("attenuation", [80, 120])
 def test_roundtrip_snr_other_attenuations(attenuation):
     """The design chain holds reconstruction quality across the supported
