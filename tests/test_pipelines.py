@@ -62,7 +62,8 @@ def torch_cached_synthesis(x, hk):
     return y.reshape(y.shape[0], y.shape[1], -1).numpy()
 
 
-def torch_flagship_pitchshift(x, hk, shifts, m_buffer_size, prev_tail):
+def torch_flagship_pitchshift(x, hk, shifts, m_buffer_size, prev_tail,
+                              canonical_zero_phase=False):
     """Full reference pitchshift oracle (1-PitchShifterWrapper.py:222-301)
     composed from the documented op chain. Returns (y, new_tail)."""
     n_band = hk.shape[0]
@@ -74,9 +75,9 @@ def torch_flagship_pitchshift(x, hk, shifts, m_buffer_size, prev_tail):
     new_tail = prev_tail.copy()
     bands = []
     for i in range(M):
-        shifted = torch_pvoc_pitchshift(sub[:, i, :],
-                                        int(round(float(shifts[i]))),
-                                        n_fft, hop, win)  # [B, Tb]
+        shifted = torch_pvoc_pitchshift(
+            sub[:, i, :], int(round(float(shifts[i]))), n_fft, hop, win,
+            canonical_zero_phase=canonical_zero_phase)  # [B, Tb]
         if L > 0 and B == 1 and shifted.shape[-1] >= L:
             suffix = shifted[0, -L:].copy()
             blended = prev_tail[i] * fade_out + shifted[0, :L] * fade_in
@@ -180,14 +181,27 @@ def test_pitchshift_variable_block_size(wrapper):
     want, _ = torch_flagship_pitchshift(x[None], hk, stable, 8192, prev)
     assert snr_db(want, np.asarray(got)) > 85
 
-    # mixed shifts: chaotic bins bound parity lower, but the pipeline must
-    # stay within the measured fp-chaos envelope
+    # mixed (fractional-a) shifts on a short block. The raw-oracle gap
+    # here is NOT fp chaos: it is torch's FFT emitting signed zeros for
+    # the exactly-zero pad-to-n_fft frames, whose atan2 phases form an
+    # arbitrary {0, pi} twiddle pattern that the reference's
+    # phi0 + a*princarg(...) rule mixes into real neighboring bins.
+    # Strict parity is asserted against the oracle with those phases
+    # canonicalized to our convention (0); the raw-oracle comparison then
+    # bounds the size of the convention difference itself.
     state = wrapper.init_state()
     state, got = wrapper.pitchshift_fn(state, x)
     hk = np.asarray(wrapper.pqmf.params["hk"])
     prev = np.zeros((16, wrapper.band_overlap), np.float32)
-    want, _ = torch_flagship_pitchshift(x[None], hk, SHIFTS, 8192, prev)
-    assert snr_db(want, np.asarray(got)) > 25
+    want_canon, _ = torch_flagship_pitchshift(x[None], hk, SHIFTS, 8192,
+                                              prev,
+                                              canonical_zero_phase=True)
+    ours = snr_db(want_canon, np.asarray(got))
+    assert ours > 90, f"canonical-oracle parity only {ours:.1f} dB"
+    want_raw, _ = torch_flagship_pitchshift(x[None], hk, SHIFTS, 8192, prev)
+    raw = snr_db(want_raw, np.asarray(got))
+    assert raw > 30, (
+        f"zero-frame phase-convention divergence grew: {raw:.1f} dB")
 
 
 def test_pitchshift_batch_gt1_skips_crossfade(wrapper):

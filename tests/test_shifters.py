@@ -30,7 +30,20 @@ from pqmf_tpu.shifters import (
 
 
 def torch_pvoc_pitchshift(x: np.ndarray, n_steps: int, n_fft: int, hop: int,
-                          win: int) -> np.ndarray:
+                          win: int,
+                          canonical_zero_phase: bool = False) -> np.ndarray:
+    """Reference pvoc oracle (VocoderPitchShifter.py:240-306).
+
+    canonical_zero_phase: torch's FFT emits signed zeros (-0.0) in a
+    deterministic per-bin twiddle pattern for exactly-zero frames (the
+    pvoc's pad-to-n_fft region of short blocks), so its atan2 phases
+    there are an arbitrary {0, pi} pattern that fractional-a stretch
+    weights mix into neighboring REAL bins. The pattern is a torch-FFT
+    implementation artifact, unreproducible in principle from another
+    DFT; with True the oracle canonicalizes those phases to 0 (our
+    matmul-DFT's convention, all +0.0 sums) so strict algorithmic parity
+    can be asserted.
+    """
     xt = torch.from_numpy(np.array(x, np.float32, copy=True))
     B, T = xt.shape
     factor = 2.0 ** (float(int(n_steps)) / 12.0)
@@ -44,6 +57,9 @@ def torch_pvoc_pitchshift(x: np.ndarray, n_steps: int, n_fft: int, hop: int,
     real, imag = spec[..., 0], spec[..., 1]
     mag = torch.sqrt(real * real + imag * imag + 1e-12)
     phase = torch.atan2(imag, real)
+    if canonical_zero_phase:
+        phase = torch.where((real == 0) & (imag == 0),
+                            torch.zeros_like(phase), phase)
     frames = mag.shape[-1]
     frames_out = max(1, int(math.floor(frames / rate)))
     freq = mag.shape[1]

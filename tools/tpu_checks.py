@@ -88,6 +88,37 @@ def main():
           f"torch oracle: out {s1:.1f} dB, tail {s2:.1f} dB (need > 80)")
     ok &= good
 
+    # fused TA pitchshifter on chip vs its literal per-band loop
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    wta = PQMFPitchShiftWrapperTA(100, 16, 8192, 44100, SHIFTS)
+    y_loop = np.asarray(wta.pitchshifter_loop(xb[None]))
+    y_fused = np.asarray(wta.pitchshifter(xb[None]))
+    s3 = snr_db(y_loop, y_fused)
+    good = s3 > 80
+    print(f"{'PASS' if good else 'FAIL'}  TA fused on-chip vs per-band "
+          f"loop: {s3:.1f} dB (need > 80)")
+    ok &= good
+
+    # AOT StableHLO artifact reload ON CHIP equals the live wrapper
+    import tempfile
+
+    from pqmf_tpu.export import load_stablehlo, save_artifact
+
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            path = save_artifact(w, td, with_stablehlo=True)
+            fn = load_stablehlo(path)
+            tail0 = jnp.zeros((16, w.band_overlap), jnp.float32)
+            tail1, y_aot = fn(tail0, jnp.asarray(xb))
+            _, y_live = w.pitchshift_fn({"prev_tail": tail0},
+                                        jnp.asarray(xb))
+            err = float(jnp.abs(y_aot - y_live).max())
+            ok &= check("AOT stablehlo reload on-chip == live", err, 1e-6)
+        except RuntimeError as e:
+            print(f"FAIL  AOT stablehlo export on this platform: {e}")
+            ok = False
+
     # end-to-end quality on a real fixture
     wav, _ = read_wav("/root/reference/audio/flute.wav")
     wav = wav[:1, : (wav.shape[-1] // 8192) * 8192]
