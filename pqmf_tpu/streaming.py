@@ -237,9 +237,14 @@ def _cached_synthesis(x, hki, state, mode="offline", precision="highest",
 
 
 class StreamingPQMF:
-    """Streaming PQMF with explicit functional state (mono, like the
-    reference's CachedPQMF — pqmf.py:292-305 documents the mono limit; here
-    batch is free, extra channels can be vmapped).
+    """Streaming PQMF with explicit functional state.
+
+    The reference's CachedPQMF is mono-only (pqmf.py:292-305). Here batch
+    is free and ``n_channels > 1`` folds channels into the batch of the
+    mono conv core (exceeding parity the same way the offline PQMF's
+    channel support already does): ``forward`` maps [B, C, T] ->
+    [B, C*M, T/M] and the streaming state carries one cache per (batch,
+    channel) signal.
 
     Modes
     -----
@@ -254,12 +259,14 @@ class StreamingPQMF:
     """
 
     def __init__(self, attenuation: float, n_band: int,
-                 precision: str = "highest", use_pallas="auto", mesh=None):
+                 precision: str = "highest", use_pallas="auto", mesh=None,
+                 n_channels: int = 1):
         power = math.log2(n_band)
         assert power == math.floor(power), "n_band must be a power of 2"
         self.n_band = n_band
         self.attenuation = attenuation
         self.precision = precision
+        self.n_channels = int(n_channels)
 
         params = fb.build_filterbank(attenuation, n_band)
         self.params = params
@@ -313,52 +320,76 @@ class StreamingPQMF:
                 f"into even shards for the Pallas kernels")
         return mesh
 
-    # -- offline (centered) ------------------------------------------------
+    # -- channel folding ------------------------------------------------------
 
-    def forward(self, x):
+    def _fold(self, x):
+        """[B, C, T] (or [C, T] / [T]) -> ([B*C, 1, T], B)."""
         x = self._norm(x)
-        if self.n_band == 1:
-            return x
-        _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="offline",
-                                precision=self.precision,
-                                use_pallas=self.use_pallas, mesh=self.mesh)
-        return y
+        B, C, T = x.shape
+        if C != self.n_channels:
+            raise ValueError(
+                f"expected {self.n_channels} channel(s), got {C}")
+        return x.reshape(B * C, 1, T), B
 
-    def inverse(self, x):
+    def _fold_bands(self, x):
+        """[B, C*M, T'] (or [C*M, T']) -> ([B*C, M, T'], B)."""
         x = jnp.asarray(x)
         if x.ndim == 2:
             x = x[None]
+        B, CM, Tp = x.shape
+        if CM != self.n_channels * self.n_band:
+            raise ValueError(
+                f"expected {self.n_channels * self.n_band} rows "
+                f"(C*M), got {CM}")
+        return x.reshape(B * self.n_channels, self.n_band, Tp), B
+
+    # -- offline (centered) ------------------------------------------------
+
+    def forward(self, x):
+        """[B, C, T] -> [B, C*M, T/M]."""
+        xf, B = self._fold(x)
         if self.n_band == 1:
-            return x
-        _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="offline",
+            return xf.reshape(B, self.n_channels, -1)
+        _, y = _cached_analysis(xf, self.hkf, _EMPTY, mode="offline",
+                                precision=self.precision,
+                                use_pallas=self.use_pallas, mesh=self.mesh)
+        return y.reshape(B, self.n_channels * self.n_band, -1)
+
+    def inverse(self, x):
+        """[B, C*M, T'] -> [B, C, T'*M]."""
+        xf, B = self._fold_bands(x)
+        if self.n_band == 1:
+            return xf.reshape(B, self.n_channels, -1)
+        _, y = _cached_synthesis(xf, self.hki, _EMPTY, mode="offline",
                                  precision=self.precision,
                                  use_pallas=self.use_pallas, mesh=self.mesh)
-        return y
+        return y.reshape(B, self.n_channels, -1)
 
     # -- streaming ----------------------------------------------------------
 
     def init_state(self, batch: int = 1, dtype=jnp.float32) -> dict:
         M = self.n_band
+        rows = batch * self.n_channels  # one cache per (batch, channel)
         return {
-            "analysis": conv_state_init(batch, 1, self.hkf.shape[-1], M, dtype),
-            "synthesis": conv_state_init(batch, M, self.hki.shape[-1], 1, dtype),
+            "analysis": conv_state_init(rows, 1, self.hkf.shape[-1], M, dtype),
+            "synthesis": conv_state_init(rows, M, self.hki.shape[-1], 1, dtype),
         }
 
     def forward_block(self, state: dict, x):
-        x = self._norm(x)
-        new, y = _cached_analysis(x, self.hkf, state["analysis"],
+        xf, B = self._fold(x)
+        new, y = _cached_analysis(xf, self.hkf, state["analysis"],
                                   mode="streaming", precision=self.precision,
                                   use_pallas=self.use_pallas, mesh=self.mesh)
-        return {**state, "analysis": new}, y
+        return ({**state, "analysis": new},
+                y.reshape(B, self.n_channels * self.n_band, -1))
 
     def inverse_block(self, state: dict, x):
-        x = jnp.asarray(x)
-        if x.ndim == 2:
-            x = x[None]
-        new, y = _cached_synthesis(x, self.hki, state["synthesis"],
+        xf, B = self._fold_bands(x)
+        new, y = _cached_synthesis(xf, self.hki, state["synthesis"],
                                    mode="streaming", precision=self.precision,
                                    use_pallas=self.use_pallas, mesh=self.mesh)
-        return {**state, "synthesis": new}, y
+        return ({**state, "synthesis": new},
+                y.reshape(B, self.n_channels, -1))
 
     def process_block(self, state: dict, x):
         """Analysis + synthesis round-trip of one block."""
@@ -369,20 +400,18 @@ class StreamingPQMF:
     # -- causal offline (ground truth for the streaming property) -----------
 
     def forward_causal(self, x):
-        x = self._norm(x)
-        _, y = _cached_analysis(x, self.hkf, _EMPTY, mode="causal",
+        xf, B = self._fold(x)
+        _, y = _cached_analysis(xf, self.hkf, _EMPTY, mode="causal",
                                 precision=self.precision,
                                 use_pallas=self.use_pallas, mesh=self.mesh)
-        return y
+        return y.reshape(B, self.n_channels * self.n_band, -1)
 
     def inverse_causal(self, x):
-        x = jnp.asarray(x)
-        if x.ndim == 2:
-            x = x[None]
-        _, y = _cached_synthesis(x, self.hki, _EMPTY, mode="causal",
+        xf, B = self._fold_bands(x)
+        _, y = _cached_synthesis(xf, self.hki, _EMPTY, mode="causal",
                                  precision=self.precision,
                                  use_pallas=self.use_pallas, mesh=self.mesh)
-        return y
+        return y.reshape(B, self.n_channels, -1)
 
     @staticmethod
     def _norm(x):
