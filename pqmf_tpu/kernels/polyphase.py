@@ -1,24 +1,20 @@
-"""Fused Pallas polyphase analysis/synthesis kernels.
+"""Fused Pallas polyphase analysis/synthesis (public ops + shared helpers).
 
 The reference's hot path is two conv1ds (pqmf.py:129, 152) surrounded by
-rearranges, a sign mask, a band flip, a gain, and a delay trim. Here each
-direction is ONE Mosaic kernel:
-
-- **analysis**: per time-tile, DMA a haloed window of the phase-major
-  input from HBM, build the im2col frame matrix in a VMEM scratch
-  (``pltpu.roll`` + aligned stores — Mosaic cannot concat lane-offset
-  slices), run a single ``[M, M*L] @ [M*L, Tt]`` MXU matmul, and apply
-  the alias-cancellation sign mask (``reverse_half``, pqmf.py:13-22) on
-  the way out.
-- **synthesis**: the sign mask is folded into the frame build, the band
-  flip + ``*M`` gain + ``2M``-sample delay trim are folded into the
-  weight matrix/index math, and the output tile is written time-major so
-  the final phase re-interleave is a free reshape.
-
-The polyphase conv is exactly a strided dense matmul on the raw signal:
+rearranges, a sign mask, a band flip, a gain, and a delay trim. The
+polyphase conv is exactly a strided dense matmul on the raw signal:
 ``y[:, t] = W2 @ x_raw[(t - L/2)*M : (t - L/2)*M + L*M]`` (window stride
-M, length L*M), since ``(t+l)*M + m = t*M + (l*M + m)``. HBM traffic per
-direction = one read of the phase-major input + one write of the output.
+M, length L*M), since ``(t+l)*M + m = t*M + (l*M + m)`` — which is the
+same shape as the CachedPQMF conv geometry, so both public ops here are
+thin adapters over the generic time-grouped Mosaic kernels in
+``kernels/cached_conv.py`` (see that module's docstring for the kernel
+scheme): the bank flattens to raw conv weights, the reference's centered
+pads/trims become explicit input padding, and the alias-cancellation
+sign mask, band flip, ``*M`` gain and ``2M`` delay trim are all folded
+into the weight matrix / index math. HBM traffic per direction = one
+read of the input + one write of the output (plus one transpose pass
+for the group re-interleave, which XLA fuses into neighboring ops in
+the full pipelines).
 
 Numerics match ``pqmf_tpu.ops.filterbank.polyphase_forward/inverse``
 (lax path) to float32 round-off; tests assert equality in interpret mode
@@ -40,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["polyphase_analysis", "polyphase_synthesis", "pallas_available",
            "supports"]
 
-DEFAULT_TILE = 1024
+DEFAULT_TILE = 2048
 # frames scratch [L*M, Tt] must fit comfortably in VMEM alongside the
 # pipeline's in/out blocks; 4 MB keeps tile=2048 for the default L*M=512.
 _FRAMES_VMEM_BYTES = 4 << 20
@@ -98,27 +94,44 @@ def _build_frames(xw, frames_ref, M, L, Tt, mask_fn=None):
         frames_ref[l * M:(l + 1) * M, :] = sl
 
 
-# ---------------------------------------------------------------------------
-# analysis
-# ---------------------------------------------------------------------------
+def _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt):
+    """Double-buffered HBM->VMEM fetch of the tile-i haloed window.
+
+    Grid steps run sequentially on TPU, so starting tile i+1's copy into
+    the other slot before computing tile i overlaps the DMA with the
+    frame build + matmul (measured ~17% on the 60 s analysis). Returns
+    the slot index holding tile i's data.
+    """
+    win = xw2.shape[-1]
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(0, win)], xw2.at[0], sem2.at[0]).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds((i + 1) * Tt, win)], xw2.at[nxt],
+            sem2.at[nxt]).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(i * Tt, win)], xw2.at[slot],
+        sem2.at[slot]).wait()
+    return slot
 
 
-def _analysis_kernel(x_hbm, w_ref, out_ref, xw, frames, sem, *, M, Mout, L,
-                     Tt):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(i * Tt, xw.shape[-1])], xw, sem)
-    copy.start()
-    copy.wait()
-    _build_frames(xw[:], frames, M, L, Tt)
-    y = jax.lax.dot_general(
-        w_ref[:], frames[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [Mout, Tt]
-    out_ref[:] = (y * _sign_mask(Mout, Tt, 0, y.dtype))[None]
+# ---------------------------------------------------------------------------
+# public ops: thin adapters over the generic conv kernels
+# ---------------------------------------------------------------------------
+#
+# The polyphase conv is the same strided-dense-matmul as the cached-conv
+# geometry (see module docstring identity), so both directions route
+# through kernels/cached_conv.py's generic (time-grouped) kernels with
+# the polyphase bank flattened to raw conv weights and the reference's
+# centered pads/trims expressed as explicit input padding.
 
 
 @functools.partial(jax.jit,
@@ -133,86 +146,20 @@ def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
     even-sized row shard of the bank (Mb must be even so the local band
     parity of the fused sign mask equals the global one).
     Returns [B, Mb, T/M] — equal to
-    ``reverse_half(polyphase_forward(x, hk_poly))[:, :Mb]``.
+    ``reverse_half(polyphase_forward(x, hk_poly))[:, :Mb]`` (the lax
+    path's conv pad L//2 + [..., :-1] trim become the input padding here).
     """
+    from pqmf_tpu.kernels import cached_conv as cc
+
     B, _, T = x.shape
     Mb, M, L = hk_poly.shape
-    if L > 128:
-        raise ValueError(
-            f"halo L={L} wider than one lane tile; gate with supports()")
-    if Mb % 2:
-        raise ValueError("band shards must be even-sized (sign-mask parity)")
-    Tm = T // M
-    cap = max(128, _FRAMES_VMEM_BYTES // (L * M * 4))
-    Tt = int(min(tile, cap, max(128, 1 << (Tm - 1).bit_length())))
-    nt = -(-Tm // Tt)
-    # DMA window: halo rounded up so slice sizes/offsets are 128-aligned
-    # (Mosaic requires it when the compiler places the input in VMEM)
-    win = Tt + -(-L // 128) * 128
-    Mb_pad = -(-Mb // 8) * 8  # sublane-aligned output rows
-
-    # de-interleave "b c (t m) -> b m t" + halo pad: ONE aligned pass
-    xp = x[:, 0, :].reshape(B, Tm, M)
-    xp = jnp.swapaxes(xp, 1, 2)  # [B, M, Tm]
-    xp = jnp.pad(xp, ((0, 0), (0, 0),
-                      (L // 2, (nt - 1) * Tt + win - Tm - L // 2)))
-
-    # W2[c, l*M + m] = hk_poly[c, m, l]
-    w2 = jnp.transpose(hk_poly, (0, 2, 1)).reshape(Mb, L * M)
-    if Mb_pad > Mb:
-        w2 = jnp.pad(w2, ((0, Mb_pad - Mb), (0, 0)))
-
-    out = pl.pallas_call(
-        functools.partial(_analysis_kernel, M=M, Mout=Mb_pad, L=L, Tt=Tt),
-        grid=(B, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((Mb_pad, L * M), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Mb_pad, Tt), lambda b, i: (b, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Mb_pad, nt * Tt), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((M, win), x.dtype),
-            pltpu.VMEM((L * M, Tt), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=_should_interpret(interpret),
-    )(xp, w2)
-    out = out[:, :Mb, :Tm]
-    if not fuse_mask:  # undo (for callers wanting the raw conv)
-        from pqmf_tpu.ops.filterbank import reverse_half
-
-        out = reverse_half(out)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# synthesis
-# ---------------------------------------------------------------------------
-
-
-def _synthesis_kernel(x_hbm, v_ref, out_ref, xw, frames, sem, *, M, Mout, L,
-                      Tt):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(i * Tt, xw.shape[-1])], xw, sem)
-    copy.start()
-    copy.wait()
-    # fused reverse_half on the input: sample index tau = i*Tt + t + l -
-    # (L//2 - 1); parity(tau) = parity(t + l - L//2 + 1) for even Tt.
-    off = L // 2 - 1
-    _build_frames(xw[:], frames, M, L, Tt,
-                  mask_fn=lambda l: _sign_mask(M, Tt, l - off, xw.dtype))
-    y = jax.lax.dot_general(
-        frames[:], v_ref[:],
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [Tt, Mout]
-    out_ref[:] = y[None]
+    # W2[c, l*M + m] = hk_poly[c, m, l]; window start (t - L//2)*M
+    w2 = jnp.transpose(hk_poly, (0, 2, 1)).reshape(Mb, 1, L * M)
+    xq = jnp.pad(x, ((0, 0), (0, 0),
+                     ((L // 2) * M, (L - L // 2 - 1) * M)))
+    return cc.strided_analysis_conv(xq, w2, M, tile=tile,
+                                    interpret=interpret,
+                                    fuse_mask=fuse_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -223,52 +170,19 @@ def polyphase_synthesis(x, hk_ipoly, tile=DEFAULT_TILE, interpret=None):
     (= full band count; also the reference's ``*M`` gain) and Mb the bands
     contracted here. Mb == M offline; under a band-sharded mesh each
     device passes its even-sized band shard of x and of the bank's band
-    axis, and psums the partial outputs over the band axis.
+    axis, and psums the partial outputs.
     Returns [B, 1, M*T'] — equal to
-    ``polyphase_inverse(reverse_half(x), hk_ipoly)`` when Mb == M.
+    ``polyphase_inverse(reverse_half(x), hk_ipoly)`` when Mb == M (its
+    pad L//2+1, [..., :-1] trim, and 2-row delay trim collapse to an
+    input pad of L//2-1 left).
     """
+    from pqmf_tpu.kernels import cached_conv as cc
+
     B, Mb, Tp = x.shape
     M, Mw, L = hk_ipoly.shape
-    if Mw != Mb:
-        raise ValueError(f"band dims disagree: x has {Mb}, bank has {Mw}")
-    if L > 128:
-        raise ValueError(
-            f"halo L={L} wider than one lane tile; gate with supports()")
-    if Mb % 2:
-        raise ValueError("band shards must be even-sized (sign-mask parity)")
-    Mb_pad = -(-Mb // 8) * 8  # sublane-aligned frame row groups
-    cap = max(128, _FRAMES_VMEM_BYTES // (L * Mb_pad * 4))
-    Tt = int(min(tile, cap, max(128, 1 << (Tp - 1).bit_length())))
-    nt = -(-Tp // Tt)
-    win = Tt + -(-L // 128) * 128
-
-    # final[c, t] = M * sum_{m,l} hk_ipoly[M-1-c, m, l] *
-    #              reverse_half(x)[m, t + l - (L//2 - 1)]
-    xq = jnp.pad(x, ((0, 0), (0, Mb_pad - Mb),
-                     (L // 2 - 1,
-                      win - (L // 2 - 1) + (nt - 1) * Tt - Tp)))
-    v2 = M * jnp.flip(hk_ipoly, axis=0)  # phase flip; gain = full M
-    v2 = jnp.transpose(v2, (0, 2, 1))  # [M, L, Mb]
-    if Mb_pad > Mb:
-        v2 = jnp.pad(v2, ((0, 0), (0, 0), (0, Mb_pad - Mb)))
-    v2 = v2.reshape(M, L * Mb_pad)
-
-    out = pl.pallas_call(
-        functools.partial(_synthesis_kernel, M=Mb_pad, Mout=M, L=L, Tt=Tt),
-        grid=(B, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((M, L * Mb_pad), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Tt, M), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nt * Tt, M), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Mb_pad, win), x.dtype),
-            pltpu.VMEM((L * Mb_pad, Tt), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=_should_interpret(interpret),
-    )(xq, v2)
-    return out[:, :Tp, :].reshape(B, 1, Tp * M)
+    off = L // 2 - 1
+    xq = jnp.pad(x, ((0, 0), (0, 0), (off, L - 1 - off)))
+    out = cc.dense_synthesis_conv(xq, hk_ipoly, tile=tile,
+                                  interpret=interpret,
+                                  x_offset=-off)  # [B, Tp, M]
+    return out.reshape(B, 1, Tp * M)
