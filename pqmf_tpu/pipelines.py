@@ -488,16 +488,16 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
                                    "pad_left", "Lbuf"))
 def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
-                         W, idx, n_fft, hop, win, Tb, FO_max, pad_left,
+                         W, start, n_fft, hop, win, Tb, FO_max, pad_left,
                          Lbuf):
     """All 16 torchaudio-style band shifts in ONE fused program
     (reference per-band loop: PQMFPsWrapper.py:126-144; torchaudio
     PitchShift = accumulate-phase stretch + sinc resample).
 
     bands: [B, M, Tb]. Per-band arrays: rates/frames_out/len_stretch/
-    zero_shift [M]; W [M, Tb, K_taps] banded resample weights; idx
-    [M, Tb*K_taps] gather indices into the pad_left-offset stretch buffer
-    of static length Lbuf (see ops.resample.banded_resample_plan).
+    zero_shift [M]; W [M, Tb, K_taps] banded resample weights; start
+    [M, Tb] window starts into the pad_left-offset stretch buffer of
+    static length Lbuf (see ops.resample.banded_resample_plan).
     Returns shifted [B, M, Tb].
     """
     B, M, _ = bands.shape
@@ -516,7 +516,7 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     trim = n_fft // 2
     K_taps = W.shape[-1]
 
-    def one_band(re_b, im_b, rate, fo, ls, W_b, idx_b):
+    def one_band(re_b, im_b, rate, fo, ls, W_b, st_b):
         re_s, im_s = pv.stretch_accumulate(re_b, im_b, rate, omega, FO_max)
         fmask = (jnp.arange(FO_max) < fo).astype(dt)
         y, wsq = S.istft_ri_parts(re_s, im_s, n_fft, hop, window,
@@ -528,12 +528,20 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
         ystr = ystr * (t < ls).astype(dt)
         ystr = jnp.pad(ystr,
                        ((0, 0), (pad_left, Lbuf - pad_left - ystr.shape[-1])))
-        g = jnp.take(ystr, idx_b, axis=-1,
-                     mode="clip").reshape(B, Tb, K_taps)
-        return jnp.einsum("btk,tk->bt", g, W_b,
+        # gather-free banded resample: C[j, p] = sum_k W[j, k] ystr[p + k]
+        # (K_taps shifted slices + one matmul), then z[j] = C[j, start_j]
+        # selected by an iota==start one-hot reduce. A jnp.take gather
+        # here measured 2.4 ms/block on TPU — ~100x the rest of the step.
+        P = Lbuf - K_taps + 1
+        Yk = jnp.stack([ystr[:, k:k + P] for k in range(K_taps)], axis=1)
+        C = jnp.einsum("jk,bkp->bjp", W_b, Yk,
+                       precision=jax.lax.Precision.HIGHEST)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (Tb, P), 1)
+               == st_b[:, None]).astype(dt)
+        return jnp.einsum("bjp,jp->bj", C, sel,
                           precision=jax.lax.Precision.HIGHEST)
 
-    z = jax.vmap(one_band)(re, im, rates, frames_out, len_stretch, W, idx)
+    z = jax.vmap(one_band)(re, im, rates, frames_out, len_stretch, W, start)
     # n_steps == 0 bands pass through untouched (torchaudio early-out,
     # shifters.TorchaudioPitchShift.__call__)
     z = jnp.where(zero_shift[:, None, None] > 0,
@@ -650,24 +658,23 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         Kt = max(w.shape[-1] for w, _, _ in banded)
         pad_left = max(wd for _, _, wd in banded)
         W = np.zeros((M, Tb, Kt), np.float32)
-        idxs = np.zeros((M, Tb * Kt), np.int32)
+        starts = np.zeros((M, Tb), np.int32)
         for i, (Wb, st, _) in enumerate(banded):
             W[i, :, : Wb.shape[-1]] = Wb
-            idxs[i] = (st[:, None] + pad_left
-                       + np.arange(Kt)[None]).reshape(-1)
+            starts[i] = st + pad_left
         ystr_len = self._n_fft // 2 + (FO_max - 1) * self._hop
-        Lbuf = max(pad_left + ystr_len, int(idxs.max()) + 1)
+        Lbuf = max(pad_left + ystr_len, int(starts.max()) + Kt)
         plan = (np.asarray(rates, np.float32), np.asarray(fo, np.int32),
                 np.asarray(ls, np.int32), np.asarray(zero, np.float32),
-                W, idxs, FO_max, pad_left, Lbuf)
+                W, starts, FO_max, pad_left, Lbuf)
         self._ta_plans[Tb] = plan
         return plan
 
-    def _pitchshifter_impl(self, x, rates, fo, ls, zero, W, idx, FO_max,
+    def _pitchshifter_impl(self, x, rates, fo, ls, zero, W, start, FO_max,
                            pad_left, Lbuf):
         sub = self.forward(x)  # [B, M, Tb]
         shifted = _fused_ta_pitchshift(
-            sub, rates, fo, ls, zero, W, idx, self._n_fft, self._hop,
+            sub, rates, fo, ls, zero, W, start, self._n_fft, self._hop,
             self._win, sub.shape[-1], FO_max, pad_left, Lbuf)
         return self.inverse(shifted)
 
