@@ -106,12 +106,18 @@ def _scan_rtf(make_run, n_blocks, samples_per_block, floor_s):
     run()  # compile + sync
     best = _best_seconds(run, 3)
     per_block_raw = best / n_blocks
-    per_block = max(best - floor_s, 1e-9) / n_blocks
+    if best < 2 * floor_s:
+        # below measurement resolution even after chaining: report the
+        # raw (floor-dominated, pessimistic) number rather than a clamp
+        # artifact; n_blocks should be raised instead
+        return ((samples_per_block / SR) / per_block_raw,
+                (samples_per_block / SR) / per_block_raw)
+    per_block = (best - floor_s) / n_blocks
     return ((samples_per_block / SR) / per_block,
             (samples_per_block / SR) / per_block_raw)
 
 
-def bench_pitchshift(floor_s, n_blocks=64):
+def bench_pitchshift(floor_s, n_blocks=1024):
     """Flagship per-subband phase-vocoder pitch shift: ms per 8192-sample
     block, measured as a lax.scan over n_blocks blocks (carried crossfade
     state), one dispatch."""
@@ -135,7 +141,7 @@ def bench_pitchshift(floor_s, n_blocks=64):
                      n_blocks, 8192, floor_s)
 
 
-def bench_ta_pitchshift(floor_s, n_blocks=32):
+def bench_ta_pitchshift(floor_s, n_blocks=1024):
     """Torchaudio-variant per-band pitch shift (fused single-program path):
     stateless, scanned over n_blocks 8192-sample blocks."""
     import jax
@@ -164,7 +170,7 @@ def bench_ta_pitchshift(floor_s, n_blocks=32):
                      n_blocks, 8192, floor_s)
 
 
-def bench_streams(floor_s, n_streams=16, n_blocks=16):
+def bench_streams(floor_s, n_streams=16, n_blocks=256):
     """Multi-stream serving: aggregate realtime factor for n_streams
     concurrent pitch-shift streams, each with its own crossfade state."""
     import jax

@@ -73,11 +73,10 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
-                                   "crossfade", "phase_rule", "fo_tuple"))
+                                   "crossfade", "phase_rule"))
 def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
                            fade_in, n_fft, hop, win, Tb, FO_max,
-                           crossfade=True, phase_rule="reference",
-                           fo_tuple=None):
+                           crossfade=True, phase_rule="reference"):
     """Pitch-shift every sub-band in one fused program.
 
     bands: [B, M, Tb]; rates/frames_out: [M].
@@ -158,21 +157,16 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
 
     P = jax.vmap(one_band)(re, im, rates, frames_out)  # [M, B, total]
 
-    # per-band resample back to Tb. With static per-band frames_out
-    # (fo_tuple) each band's stretch length is a small-rational multiple
-    # of Tb, so the lerp is strided slices — no gather (the two gathers
-    # were ~70 us of the 381 us 16-stream step in the device trace).
-    if fo_tuple is not None:
-        shifted = jnp.stack(
-            [rs.interpolate_linear_static(
-                P[i], max((fo - 1) * hop + n_fft, 1), Tb)
-             for i, fo in enumerate(fo_tuple)], axis=0)
-    else:  # traced frames_out only (not used by the wrappers)
-        def interp(p_b, fo):
-            length_stretch = jnp.maximum((fo - 1) * hop + n_fft, 1)
-            return rs.interpolate_linear_dynamic(p_b, length_stretch, Tb)
+    # per-band resample back to Tb: gather-free one-hot lerp (see
+    # interpolate_linear_dynamic), vmapped with each band's TRACED
+    # stretch length — no per-band static specialization needed (the
+    # earlier per-band strided-slice unrolling cost ~0.08 ms/block of
+    # small-op overhead; this path measures below the timing floor)
+    def interp(p_b, fo):
+        length_stretch = jnp.maximum((fo - 1) * hop + n_fft, 1)
+        return rs.interpolate_linear_dynamic(p_b, length_stretch, Tb)
 
-        shifted = jax.vmap(interp)(P, frames_out)  # [M, B, Tb]
+    shifted = jax.vmap(interp)(P, frames_out)  # [M, B, Tb]
 
     # --- crossfade against the carried per-band tail ---
     L = prev_tail.shape[-1]
@@ -387,8 +381,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
-            Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule,
-            fo_tuple=tuple(int(v) for v in frames_out))
+            Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule)
         y = self.inverse(shifted)  # [B, 1, T]
         return {"prev_tail": new_tail}, y[:, 0, :]
 
@@ -419,8 +412,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
-            Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule,
-            fo_tuple=tuple(int(v) for v in frames_out))
+            Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule)
         y = self.inverse(shifted)
         return ({"prev_tail": jnp.swapaxes(new_tails, 0, 1)}, y[:, 0, :])
 
