@@ -11,7 +11,7 @@ from pqmf_tpu.kernels import polyphase_analysis, polyphase_synthesis
 from pqmf_tpu.ops import filterbank as fb
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32])
+@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
 @pytest.mark.parametrize("t_sub", [128, 1000, 37])
 def test_analysis_matches_lax(n_band, t_sub):
     p = fb.build_filterbank(100, n_band)
@@ -25,7 +25,7 @@ def test_analysis_matches_lax(n_band, t_sub):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32])
+@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
 @pytest.mark.parametrize("t_sub", [128, 1000, 37])
 def test_synthesis_matches_lax(n_band, t_sub):
     p = fb.build_filterbank(100, n_band)
@@ -97,3 +97,22 @@ def test_streaming_pqmf_pallas_matches_lax_all_modes():
     for k in sr_:
         np.testing.assert_allclose(np.asarray(sp_[k]), np.asarray(sr_[k]),
                                    atol=2e-5, rtol=1e-4, err_msg=k)
+
+
+def test_ungrouped_fallback_m128_matches_lax():
+    """n_band=128 has no time-grouping (G=1): the ungrouped im2col kernels
+    must still match the lax path (they are the fallback the grouped
+    scheme rests on)."""
+    p = fb.build_filterbank(100, 128)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(
+        rng.standard_normal((1, 1, 128 * 200)).astype(np.float32))
+    ref = fb.reverse_half(fb.polyphase_forward(x, p["hk_poly"]))
+    got = polyphase_analysis(x, p["hk_poly"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    s = jnp.asarray(rng.standard_normal((1, 128, 200)).astype(np.float32))
+    ref2 = fb.polyphase_inverse(fb.reverse_half(s), p["hk_ipoly"])
+    got2 = polyphase_synthesis(s, p["hk_ipoly"])
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               atol=1e-4, rtol=1e-4)
