@@ -219,11 +219,11 @@ class PQMFWrapper(_RegistryMixin):
 
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 512, precision: str = "highest",
-                 use_pallas="auto"):
+                 use_pallas="auto", mesh=None):
         self.n_band = n_band
         self.attenuation = attenuation
         self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, mesh=mesh)
         self._methods = ["forward", "inverse", "process"]
         self._attributes = [
             "n_band", "attenuation",
@@ -279,12 +279,13 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 8192, sample_rate: int = 44100,
                  shifts_in_semitones=None, precision: str = "highest",
-                 use_pallas="auto", phase_rule: str = "reference"):
+                 use_pallas="auto", phase_rule: str = "reference",
+                 mesh=None):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
         self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, mesh=mesh)
 
         self._methods = ["forward", "pitchshift"]
         self._attributes = [
@@ -554,12 +555,12 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 512, sample_rate: int = 44100,
                  shifts_in_semitones=None, precision: str = "highest",
-                 use_pallas="auto"):
+                 use_pallas="auto", mesh=None):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
         self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, mesh=mesh)
 
         self._methods = ["forward", "inverse", "pitchshifter"]
         self._attributes = [

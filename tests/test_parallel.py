@@ -81,6 +81,26 @@ def test_sharded_pallas_kernels_match_lax_and_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_ta_wrapper_band_sharded_matches_single_device():
+    """The fused TA pipeline composes with the (data, band) mesh too: its
+    filterbank kernels band-shard via the wrapper's mesh kwarg and the
+    vmapped middle partitions under GSPMD."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    mesh = make_mesh(8, n_band=16)
+    shifts = [0, -3, 5, 12, -7, 2, 1, -1, 4, -5, 3, -2, 6, -6, 7, -24]
+    w_one = PQMFPitchShiftWrapperTA(100, 16, 4096, use_pallas=True,
+                                    shifts_in_semitones=shifts)
+    w_sh = PQMFPitchShiftWrapperTA(100, 16, 4096, use_pallas=True,
+                                   shifts_in_semitones=shifts, mesh=mesh)
+    assert w_sh.pqmf.mesh is not None
+    x = np.random.default_rng(13).standard_normal(
+        (2, 1, 4096)).astype(np.float32) * 0.3
+    y_one = np.asarray(w_one.pitchshifter(x))
+    y_sh = np.asarray(w_sh.pitchshifter(x))
+    np.testing.assert_allclose(y_sh, y_one, atol=1e-5, rtol=1e-5)
+
+
 def test_sharded_pallas_hlo_partitions_band_axis():
     """Compiled-HLO structure: the Pallas round-trip under a mesh contains
     two manual (shard_map) regions and exactly ONE all_reduce — the
