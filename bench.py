@@ -161,7 +161,8 @@ def bench_ta_pitchshift(floor_s, n_blocks=1024):
     def run(blocks):
         def step(_, b):
             y = w._pitchshifter_impl(b, *args, FO_max=FO_max,
-                                     pad_left=pad_left, Lbuf=Lbuf)
+                                     pad_left=pad_left, Lbuf=Lbuf,
+                                     resample_kind="onehot")
             return 0, y
 
         return jax.lax.scan(step, 0, blocks)[1]
@@ -216,8 +217,10 @@ def main():
             corrected, raw = fn(floor_s)
             results[f"{name}_rtf"] = round(corrected, 1)
             results[f"{name}_rtf_raw"] = round(raw, 1)
-        except Exception:
+        except Exception as e:
             results[f"{name}_rtf"] = None
+            results[f"{name}_rtf_raw"] = None
+            results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:160]
 
     vs = (rtf / rtf_ref) if rtf_ref else 1.0
     print(json.dumps({

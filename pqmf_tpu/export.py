@@ -58,9 +58,30 @@ def _weights_of(wrapper) -> dict:
 def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
                   example_length: int | None = None) -> str:
     """Serialize a wrapper (PQMFWrapper or PQMFPitchShiftWrapper) to an
-    artifact directory. Returns the path."""
-    os.makedirs(path, exist_ok=True)
+    artifact directory. Returns the path.
+
+    Anything that can fail (StableHLO export) runs BEFORE any file is
+    written, so a failed save never leaves a partially overwritten
+    artifact (new weights under an old manifest would silently load as
+    the wrong configuration)."""
     kind = type(wrapper).__name__
+    blob = None
+    if with_stablehlo:
+        if not isinstance(wrapper, PQMFPitchShiftWrapper):
+            raise ValueError(
+                "with_stablehlo=True is only supported for "
+                f"PQMFPitchShiftWrapper, not {kind}")
+        T = example_length or wrapper.m_buffer_size
+        try:
+            blob = export_stablehlo(wrapper, T)
+        except Exception as e:
+            # the caller asked for an AOT artifact; a silent downgrade
+            # would ship an artifact that retraces on load
+            raise RuntimeError(
+                f"StableHLO export requested but failed on platform "
+                f"{jax.default_backend()!r}") from e
+
+    os.makedirs(path, exist_ok=True)
     manifest = {
         "format_version": 1,
         "framework_version": __version__,
@@ -96,20 +117,7 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
 
     np.savez(os.path.join(path, "weights.npz"), **_weights_of(wrapper))
 
-    if with_stablehlo:
-        if not isinstance(wrapper, PQMFPitchShiftWrapper):
-            raise ValueError(
-                "with_stablehlo=True is only supported for "
-                f"PQMFPitchShiftWrapper, not {kind}")
-        T = example_length or wrapper.m_buffer_size
-        try:
-            blob = export_stablehlo(wrapper, T)
-        except Exception as e:
-            # the caller asked for an AOT artifact; a silent downgrade
-            # would ship an artifact that retraces on load
-            raise RuntimeError(
-                f"StableHLO export requested but failed on platform "
-                f"{jax.default_backend()!r}") from e
+    if blob is not None:
         with open(os.path.join(path, "pitchshift.jaxexport"), "wb") as f:
             f.write(blob)
         manifest["stablehlo"] = {"pitchshift": {"length": T}}

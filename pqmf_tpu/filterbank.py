@@ -34,19 +34,10 @@ def _analysis(x, hk, hk_poly, polyphase=True, precision="highest",
         from pqmf_tpu.kernels import polyphase_analysis
 
         if mesh is not None:
-            # band-partitioned (shard_map): each device computes its row
-            # shard of the bank; see streaming._shard_analysis_call for
-            # the rationale
-            from jax.sharding import PartitionSpec as P
+            from pqmf_tpu.streaming import shard_band_analysis
 
-            from pqmf_tpu.streaming import shard_map_nocheck
-
-            data_ax, band_ax = mesh.axis_names
-            dspec = data_ax if x.shape[0] % mesh.shape[data_ax] == 0 else None
-            return shard_map_nocheck(
-                polyphase_analysis, mesh,
-                in_specs=(P(dspec, None, None), P(band_ax, None, None)),
-                out_specs=P(dspec, band_ax, None))(x, hk_poly)
+            return shard_band_analysis(mesh, polyphase_analysis, x,
+                                       hk_poly)
         return polyphase_analysis(x, hk_poly)
     if polyphase:
         y = fb.polyphase_forward(x, hk_poly, precision=precision)
@@ -64,22 +55,10 @@ def _synthesis(x, hk, hk_ipoly, polyphase=True, precision="highest",
         from pqmf_tpu.kernels import polyphase_synthesis
 
         if mesh is not None:
-            # band-partitioned: each device contracts its band shard and
-            # the partial syntheses psum over the band axis
-            from jax.sharding import PartitionSpec as P
+            from pqmf_tpu.streaming import shard_band_synthesis
 
-            from pqmf_tpu.streaming import shard_map_nocheck
-
-            data_ax, band_ax = mesh.axis_names
-            dspec = data_ax if x.shape[0] % mesh.shape[data_ax] == 0 else None
-
-            def local(x_l, w_l):
-                return jax.lax.psum(polyphase_synthesis(x_l, w_l), band_ax)
-
-            return shard_map_nocheck(
-                local, mesh,
-                in_specs=(P(dspec, band_ax, None), P(None, band_ax, None)),
-                out_specs=P(dspec, None, None))(x, hk_ipoly)
+            return shard_band_synthesis(mesh, polyphase_synthesis, x,
+                                        hk_ipoly)
         return polyphase_synthesis(x, hk_ipoly)
     x = fb.reverse_half(x)
     if polyphase:

@@ -63,9 +63,11 @@ def interpolate_linear_dynamic(x: jax.Array, src_len: jax.Array, size: int):
 
     Gather-free: the lerp is one ``[B, T] @ [T, size]`` matmul against a
     two-nonzeros-per-column weight matrix built from iota==index
-    compares. Bit-identical to the gather formulation (the extra matmul
-    terms are exact +0.0 additions) and ~100x faster on TPU, where
-    minor-dim gathers dominate everything else in the pipeline.
+    compares — ~100x faster on TPU, where minor-dim gathers dominate
+    everything else in the pipeline. Matches the gather formulation to
+    the last bit except where the clamp makes i0 == i1 (the final output
+    sample of some lengths): there the weights sum before the multiply
+    (``((1-a)+a)*x`` vs ``x*(1-a)+x*a``), which can differ by one ulp.
     """
     T = x.shape[-1]
     slf = src_len.astype(jnp.float32)
@@ -79,10 +81,8 @@ def interpolate_linear_dynamic(x: jax.Array, src_len: jax.Array, size: int):
     p = jax.lax.broadcasted_iota(jnp.int32, (size, T), 1)
     Wm = ((p == i0[:, None]).astype(x.dtype) * (1 - a)[:, None]
           + (p == i1[:, None]).astype(x.dtype) * a[:, None])
-    lead = x.shape[:-1]
-    out = jnp.einsum("...p,jp->...j", x, Wm,
-                     precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(*lead, size)
+    return jnp.einsum("...p,jp->...j", x, Wm,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("src_len", "size", "max_phases"))
@@ -190,7 +190,6 @@ def banded_resample_plan(orig_freq: int, new_freq: int, n_out: int,
     kernels, width, o, n = sinc_resample_kernel(
         orig_freq, new_freq, lowpass_filter_width, rolloff, window)
     kern = kernels[:, 0, :]  # [n, K], K = 2*width + o
-    K = kern.shape[-1]
 
     # per used phase: nonzero span (the sinc support; everything outside
     # is exactly zero because the cos^2 window vanishes at |t| = width)

@@ -61,18 +61,32 @@ class ShardedPitchShift:
     """
 
     def __init__(self, wrapper, mesh: Mesh):
-        self.wrapper = wrapper
         self.mesh = mesh
         # Band-partition the Pallas kernels under this mesh (shard_map —
-        # XLA cannot partition a pallas_call on its own). Meshes whose
-        # band axis would give odd per-device shards keep mesh=None there:
-        # the kernels replicate, which is correct, just not band-parallel.
+        # XLA cannot partition a pallas_call on its own). The caller's
+        # wrapper object is NOT mutated: this view gets a shallow copy
+        # with its own mesh-enabled filterbank (the design chain is
+        # memoized, so the rebuild is cheap), leaving single-device use
+        # of the original wrapper untouched. Meshes whose band axis would
+        # give odd per-device shards keep the kernels replicated, which
+        # is correct, just not band-parallel.
         pq = wrapper.pqmf
         if pq.use_pallas and pq.mesh is None:
             try:
-                pq.mesh = pq._check_mesh(mesh)
+                pq_mesh = pq._check_mesh(mesh)
             except ValueError:
-                pass
+                pq_mesh = None
+            if pq_mesh is not None:
+                import copy
+
+                from pqmf_tpu.streaming import StreamingPQMF
+
+                wrapper = copy.copy(wrapper)
+                wrapper.pqmf = StreamingPQMF(
+                    pq.attenuation, pq.n_band, precision=pq.precision,
+                    use_pallas=True, mesh=pq_mesh,
+                    n_channels=pq.n_channels)
+        self.wrapper = wrapper
         self._x_s = NamedSharding(mesh, P("data", None, None))
         self._tail_s = NamedSharding(mesh, P("band", None))
         self._y_s = NamedSharding(mesh, P("data", None))

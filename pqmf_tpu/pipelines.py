@@ -479,10 +479,10 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
-                                   "pad_left", "Lbuf"))
+                                   "pad_left", "Lbuf", "resample_kind"))
 def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
                          W, start, n_fft, hop, win, Tb, FO_max, pad_left,
-                         Lbuf):
+                         Lbuf, resample_kind="onehot"):
     """All 16 torchaudio-style band shifts in ONE fused program
     (reference per-band loop: PQMFPsWrapper.py:126-144; torchaudio
     PitchShift = accumulate-phase stretch + sinc resample).
@@ -491,6 +491,10 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     zero_shift [M]; W [M, Tb, K_taps] banded resample weights; start
     [M, Tb] window starts into the pad_left-offset stretch buffer of
     static length Lbuf (see ops.resample.banded_resample_plan).
+    resample_kind: "onehot" (fast serving path; materializes an
+    O(Tb * Lbuf) intermediate per band) or "gather" (O(Tb * K_taps)
+    memory — the right choice for whole-file offline inputs where the
+    one-hot intermediate would not fit).
     Returns shifted [B, M, Tb].
     """
     B, M, _ = bands.shape
@@ -521,6 +525,14 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
         ystr = ystr * (t < ls).astype(dt)
         ystr = jnp.pad(ystr,
                        ((0, 0), (pad_left, Lbuf - pad_left - ystr.shape[-1])))
+        if resample_kind == "gather":
+            # O(Tb*K) memory; the gather is slow per-op on TPU (~2.4 ms
+            # at Tb=512) but scales linearly — used for whole-file inputs
+            idx = st_b[:, None] + jnp.arange(K_taps)[None, :]
+            g = jnp.take(ystr, idx.reshape(-1), axis=-1,
+                         mode="clip").reshape(B, Tb, K_taps)
+            return jnp.einsum("btk,tk->bt", g, W_b,
+                              precision=jax.lax.Precision.HIGHEST)
         # gather-free banded resample: C[j, p] = sum_k W[j, k] ystr[p + k]
         # (K_taps shifted slices + one matmul), then z[j] = C[j, start_j]
         # selected by an iota==start one-hot reduce. A jnp.take gather
@@ -595,7 +607,8 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         self._ta_plans = {}
         self._pitchshifter_jit = jax.jit(
             self._pitchshifter_impl,
-            static_argnames=("FO_max", "pad_left", "Lbuf"))
+            static_argnames=("FO_max", "pad_left", "Lbuf",
+                             "resample_kind"))
 
     def forward(self, x):
         x = jnp.asarray(x)
@@ -663,26 +676,37 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         self._ta_plans[Tb] = plan
         return plan
 
+    # the one-hot resample materializes an O(Tb * Lbuf) intermediate per
+    # band; past this band length (~86 MB of transient per band at f32)
+    # the pipeline switches to the linear-memory gather form
+    _ONEHOT_MAX_TB = 2048
+
     def _pitchshifter_impl(self, x, rates, fo, ls, zero, W, start, FO_max,
-                           pad_left, Lbuf):
+                           pad_left, Lbuf, resample_kind):
         sub = self.forward(x)  # [B, M, Tb]
         shifted = _fused_ta_pitchshift(
             sub, rates, fo, ls, zero, W, start, self._n_fft, self._hop,
-            self._win, sub.shape[-1], FO_max, pad_left, Lbuf)
+            self._win, sub.shape[-1], FO_max, pad_left, Lbuf,
+            resample_kind=resample_kind)
         return self.inverse(shifted)
 
     def pitchshifter(self, x):
         """Decompose -> shift all bands -> reconstruct, as ONE jitted XLA
         program (the reference's 16-iteration loop fused; parity vs the
-        literal loop is held >90 dB in tests/test_pipelines.py)."""
+        literal loop is held >90 dB in tests/test_pipelines.py). Serving
+        block sizes use the one-hot resample; whole-file inputs fall back
+        to the linear-memory gather form inside the same fused program."""
         x = jnp.asarray(x)
         T = x.shape[-1]
         if T % self.n_band:
             raise ValueError(
                 f"T={T} must be divisible by n_band={self.n_band}")
-        plan = self._ta_plan(T // self.n_band)
+        Tb = T // self.n_band
+        plan = self._ta_plan(Tb)
+        kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
         return self._pitchshifter_jit(x, *plan[:6], FO_max=plan[6],
-                                      pad_left=plan[7], Lbuf=plan[8])
+                                      pad_left=plan[7], Lbuf=plan[8],
+                                      resample_kind=kind)
 
     # -- literal per-band path (parity oracle for the fused one) -------------
 

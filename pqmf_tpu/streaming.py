@@ -107,48 +107,40 @@ def shard_map_nocheck(f, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
-def _shard_analysis_call(mesh, xx, hkf, M):
-    """Band-partitioned Pallas analysis under ``shard_map``: every device
-    computes its row shard of the bank from the (batch-sharded, band-
-    replicated) padded signal. Manual SPMD — XLA cannot partition a
-    pallas_call on its own."""
+def shard_band_analysis(mesh, conv, x, w):
+    """Band-partitioned analysis under ``shard_map``: every device runs
+    ``conv(x_local, w_shard)`` with its ROW shard of the bank (w sharded
+    on axis 0) against the batch-sharded, band-replicated signal. Manual
+    SPMD — XLA cannot partition a pallas_call on its own. Shared by the
+    streaming and offline-polyphase paths (the sharding contract lives in
+    exactly one place)."""
     from jax.sharding import PartitionSpec as P
 
-    from pqmf_tpu.kernels import cached_conv as cc
-
     data_ax, band_ax = mesh.axis_names
-    dspec = data_ax if xx.shape[0] % mesh.shape[data_ax] == 0 else None
-
-    def local(xx_l, w_l):
-        return cc.strided_analysis_conv(xx_l, w_l, M)
-
+    dspec = data_ax if x.shape[0] % mesh.shape[data_ax] == 0 else None
     return shard_map_nocheck(
-        local, mesh,
+        conv, mesh,
         in_specs=(P(dspec, None, None), P(band_ax, None, None)),
-        out_specs=P(dspec, band_ax, None))(xx, hkf)
+        out_specs=P(dspec, band_ax, None))(x, w)
 
 
-def _shard_synthesis_call(mesh, xx, hki, fuse_mask, x_offset=0):
-    """Band-partitioned Pallas synthesis: each device contracts its band
-    shard (of the signal and of the bank's band axis) and the partial
-    outputs are summed over the band axis — the one ICI collective of the
-    round-trip, matching the lax path's GSPMD choice."""
+def shard_band_synthesis(mesh, conv, x, w):
+    """Band-partitioned synthesis: each device contracts its band shard
+    (signal axis 1, bank axis 1) via ``conv(x_shard, w_shard)`` and the
+    partial outputs are summed over the band axis — the one ICI
+    collective of the round-trip, matching the lax path's GSPMD choice."""
     from jax.sharding import PartitionSpec as P
 
-    from pqmf_tpu.kernels import cached_conv as cc
-
     data_ax, band_ax = mesh.axis_names
-    dspec = data_ax if xx.shape[0] % mesh.shape[data_ax] == 0 else None
+    dspec = data_ax if x.shape[0] % mesh.shape[data_ax] == 0 else None
 
-    def local(xx_l, w_l):
-        y = cc.dense_synthesis_conv(xx_l, w_l, fuse_mask=fuse_mask,
-                                    x_offset=x_offset)
-        return jax.lax.psum(y, band_ax)
+    def local(x_l, w_l):
+        return jax.lax.psum(conv(x_l, w_l), band_ax)
 
     return shard_map_nocheck(
         local, mesh,
         in_specs=(P(dspec, band_ax, None), P(None, band_ax, None)),
-        out_specs=P(dspec, None, None))(xx, hki)
+        out_specs=P(dspec, None, None))(x, w)
 
 
 @partial(jax.jit, static_argnames=("mode", "precision", "use_pallas", "mesh"))
@@ -171,7 +163,9 @@ def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
             xx = jnp.concatenate([state, x], axis=-1)
             new_state = xx[..., xx.shape[-1] - (K - M):]
         if mesh is not None:
-            return new_state, _shard_analysis_call(mesh, xx, hkf, M)
+            return new_state, shard_band_analysis(
+                mesh, lambda v, w: cc.strided_analysis_conv(v, w, M),
+                xx, hkf)
         return new_state, cc.strided_analysis_conv(xx, hkf, M)
     if mode == "offline":
         y = offline_conv(x, hkf, stride=M, causal=False, precision=precision)
@@ -196,8 +190,11 @@ def _cached_synthesis(x, hki, state, mode="offline", precision="highest",
 
         def syn(xx, fuse_mask, x_offset=0):
             if mesh is not None:
-                return _shard_synthesis_call(mesh, xx, hki, fuse_mask,
-                                             x_offset)
+                return shard_band_synthesis(
+                    mesh,
+                    lambda v, w: cc.dense_synthesis_conv(
+                        v, w, fuse_mask=fuse_mask, x_offset=x_offset),
+                    xx, hki)
             return cc.dense_synthesis_conv(xx, hki, fuse_mask=fuse_mask,
                                            x_offset=x_offset)
 

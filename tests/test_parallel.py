@@ -70,7 +70,10 @@ def test_sharded_pallas_kernels_match_lax_and_single_device():
     w_pal = PQMFPitchShiftWrapper(100, 16, 2048, use_pallas=True)
     sp_lax = ShardedPitchShift(w_lax, mesh)
     sp_pal = ShardedPitchShift(w_pal, mesh)
-    assert w_pal.pqmf.mesh is not None  # the kernels really got the mesh
+    # the sharded view's kernels really got the mesh, while the caller's
+    # wrapper stays single-device (no aliasing mutation)
+    assert sp_pal.wrapper.pqmf.mesh is not None
+    assert w_pal.pqmf.mesh is None
     _, y_lax = sp_lax(sp_lax.init_state(), xw)
     _, y_pal = sp_pal(sp_pal.init_state(), xw)
     w_one = PQMFPitchShiftWrapper(100, 16, 2048, use_pallas=True)

@@ -288,6 +288,24 @@ def test_ta_fused_matches_per_band_loop(n_band, buf, shifts):
     assert snr > 90, f"fused-vs-loop parity only {snr:.1f} dB"
 
 
+def test_ta_fused_whole_file_uses_linear_memory_path():
+    """Whole-file inputs (the reference main's use, PQMFPsWrapper.py:177)
+    exceed the one-hot resample's O(Tb^2) memory; pitchshifter must route
+    them through the gather form and still match the per-band loop."""
+    w = PQMFPitchShiftWrapperTA(100, 16, 8192,
+                                shifts_in_semitones=[0, -3, 5, 12, -7, 2,
+                                                     1, -1, 4, -5, 3, -2,
+                                                     6, -6, 7, -24])
+    T = 16 * (w._ONEHOT_MAX_TB + 512)  # just past the one-hot limit
+    x = np.random.default_rng(17).standard_normal(
+        (1, 1, T)).astype(np.float32) * 0.3
+    y_fused = np.asarray(w.pitchshifter(x))
+    y_loop = np.asarray(w.pitchshifter_loop(x))
+    err = ((y_fused - y_loop) ** 2).sum()
+    snr = 10 * np.log10(max((y_loop ** 2).sum(), 1e-30) / max(err, 1e-30))
+    assert snr > 90, f"whole-file fused-vs-loop parity only {snr:.1f} dB"
+
+
 def test_multi_stream_states_match_independent_streams():
     """pitchshift_streams == running each stream separately with its own
     crossfade state (the reference can't do this at all: batch>1 disables

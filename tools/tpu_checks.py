@@ -88,6 +88,24 @@ def main():
           f"torch oracle: out {s1:.1f} dB, tail {s2:.1f} dB (need > 80)")
     ok &= good
 
+    # band-SHARD kernel geometries compile natively (the multi-chip
+    # shard_map path only runs in interpret mode in the CPU test suite;
+    # this exercises the same local shapes through real Mosaic lowering)
+    from pqmf_tpu.kernels import cached_conv as cc
+
+    xs = jnp.asarray(rng.standard_normal(
+        (1, 1, 16 * 512 + int(palq.hkf.shape[-1]) - 16)).astype(np.float32))
+    full = cc.strided_analysis_conv(xs, palq.hkf, 16)
+    shard = cc.strided_analysis_conv(xs, palq.hkf[4:12], 16)
+    ok &= check("band-shard analysis (Mb=8) native",
+                float(jnp.abs(full[:, 4:12] - shard).max()), 5e-5)
+    ss = jnp.asarray(rng.standard_normal((1, 16, 544)).astype(np.float32))
+    ref_sh = cc.dense_synthesis_conv(
+        jnp.where(jnp.arange(16)[None, :, None] < 8, ss, 0.0), palq.hki)
+    got_sh = cc.dense_synthesis_conv(ss[:, :8], palq.hki[:, :8])
+    ok &= check("band-shard synthesis (Mb=8) native",
+                float(jnp.abs(ref_sh - got_sh).max()), 5e-5)
+
     # fused TA pitchshifter on chip vs its literal per-band loop
     from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
 
