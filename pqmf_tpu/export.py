@@ -67,11 +67,11 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
     kind = type(wrapper).__name__
     blob = None
     if with_stablehlo:
-        if not isinstance(wrapper, PQMFPitchShiftWrapper):
-            raise ValueError(
-                "with_stablehlo=True is only supported for "
-                f"PQMFPitchShiftWrapper, not {kind}")
         T = example_length or wrapper.m_buffer_size
+        method = _AOT_METHOD.get(kind)
+        if method is None:
+            raise ValueError(
+                f"with_stablehlo=True is not supported for {kind}")
         try:
             blob = export_stablehlo(wrapper, T)
         except Exception as e:
@@ -118,28 +118,64 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
     np.savez(os.path.join(path, "weights.npz"), **_weights_of(wrapper))
 
     if blob is not None:
-        with open(os.path.join(path, "pitchshift.jaxexport"), "wb") as f:
+        with open(os.path.join(path, f"{method}.jaxexport"), "wb") as f:
             f.write(blob)
-        manifest["stablehlo"] = {"pitchshift": {"length": T}}
+        manifest["stablehlo"] = {method: {"length": T}}
 
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return path
 
 
-def export_stablehlo(wrapper: PQMFPitchShiftWrapper, length: int) -> bytes:
-    """Ahead-of-time export of the fused pitchshift step for a fixed block
-    length via ``jax.export`` (StableHLO)."""
+# wrapper kind -> the AOT-exported method (and .jaxexport file stem)
+_AOT_METHOD = {
+    "PQMFPitchShiftWrapper": "pitchshift",
+    "PQMFPitchShiftWrapperTA": "pitchshifter",
+    "PQMFWrapper": "process",
+}
+
+
+def export_stablehlo(wrapper, length: int) -> bytes:
+    """Ahead-of-time export of the wrapper's main processing method for a
+    fixed block length via ``jax.export`` (StableHLO) — the analog of
+    shipping the TorchScript archive (PQMFWrapper.py:102-108):
+
+    - flagship: ``(prev_tail, x [1, length]) -> (prev_tail', y)``
+    - TA variant: ``(x [1, 1, length]) -> y [1, 1, length]``
+    - plain wrapper: ``(x [1, 1, length]) -> (reconstructed, subbands)``
+    """
     from jax import export as jexport
 
-    def step(prev_tail, x):
-        state, y = wrapper.pitchshift_fn({"prev_tail": prev_tail}, x)
-        return state["prev_tail"], y
+    if isinstance(wrapper, PQMFPitchShiftWrapper):
+        def step(prev_tail, x):
+            state, y = wrapper.pitchshift_fn({"prev_tail": prev_tail}, x)
+            return state["prev_tail"], y
 
-    args = (
-        jnp.zeros((wrapper.n_band, wrapper.band_overlap), jnp.float32),
-        jnp.zeros((1, length), jnp.float32),
-    )
+        args = (
+            jnp.zeros((wrapper.n_band, wrapper.band_overlap), jnp.float32),
+            jnp.zeros((1, length), jnp.float32),
+        )
+    elif isinstance(wrapper, PQMFPitchShiftWrapperTA):
+        plan = wrapper._ta_plan(length // wrapper.n_band)
+        consts = tuple(jnp.asarray(a) for a in plan[:6])
+        kind = ("onehot" if length // wrapper.n_band
+                <= wrapper._ONEHOT_MAX_TB else "gather")
+
+        def step(x):
+            return wrapper._pitchshifter_impl(
+                x, *consts, FO_max=plan[6], pad_left=plan[7], Lbuf=plan[8],
+                resample_kind=kind)
+
+        args = (jnp.zeros((1, 1, length), jnp.float32),)
+    elif isinstance(wrapper, PQMFWrapper):
+        def step(x):
+            subbands = wrapper.pqmf.forward(x)
+            return wrapper.pqmf.inverse(subbands), subbands
+
+        args = (jnp.zeros((1, 1, length), jnp.float32),)
+    else:
+        raise ValueError(f"no AOT export for {type(wrapper).__name__}")
+
     exp = jexport.export(jax.jit(step))(*args)
     return exp.serialize()
 
@@ -213,14 +249,24 @@ def _init_wrapper_from_weights(wrapper, cfg, weights, manifest):
     _restore_pqmf_weights(wrapper.pqmf, weights)
 
 
-def load_stablehlo(path: str):
-    """Deserialize the exported pitchshift step; returns a callable
-    ``(prev_tail, x) -> (prev_tail', y)`` or None if absent."""
+def load_stablehlo(path: str, method: str | None = None):
+    """Deserialize an exported AOT method; returns a callable matching
+    the signature documented in :func:`export_stablehlo`, or None if
+    absent. With ``method=None`` the artifact's single exported method
+    (from the manifest) is used."""
     from jax import export as jexport
 
-    p = os.path.join(path, "pitchshift.jaxexport")
+    if method is None:
+        mpath = os.path.join(path, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                hlo = json.load(f).get("stablehlo", {})
+            method = next(iter(hlo), "pitchshift")
+        else:
+            method = "pitchshift"
+    p = os.path.join(path, f"{method}.jaxexport")
     if not os.path.exists(p):
         return None
     with open(p, "rb") as f:
         exp = jexport.deserialize(f.read())
-    return lambda prev_tail, x: exp.call(prev_tail, x)
+    return lambda *args: exp.call(*args)

@@ -86,12 +86,51 @@ def test_stablehlo_export_roundtrip(tmp_path):
                                atol=1e-6)
 
 
-def test_stablehlo_requested_but_unsupported_fails_loudly(tmp_path):
-    """with_stablehlo on an unsupported wrapper kind raises instead of
-    silently shipping an artifact that would retrace on load."""
+def test_stablehlo_failure_is_loud_and_writes_nothing(tmp_path):
+    """A failing AOT export raises (no silent manifest downgrade) and,
+    because the export runs before any file write, leaves no partially
+    written artifact behind."""
+    import pqmf_tpu.export as ex
+
     w = PQMFWrapper(100, 8, 1024)
-    with pytest.raises(ValueError, match="with_stablehlo"):
-        save_artifact(w, str(tmp_path / "bad"), with_stablehlo=True)
+    orig = ex.export_stablehlo
+    ex.export_stablehlo = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("boom"))
+    try:
+        with pytest.raises(RuntimeError, match="StableHLO export"):
+            save_artifact(w, str(tmp_path / "bad"), with_stablehlo=True)
+    finally:
+        ex.export_stablehlo = orig
+    assert not os.path.exists(str(tmp_path / "bad"))
+
+
+def test_stablehlo_all_wrapper_kinds_roundtrip(tmp_path):
+    """Every wrapper kind ships an AOT method (the TorchScript-archive
+    analog): process (plain), pitchshifter (TA), pitchshift (flagship,
+    covered above) — each reload equals the live wrapper."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 1, 1024)).astype(np.float32) * 0.3
+
+    w = PQMFWrapper(100, 8, 1024)
+    path = save_artifact(w, str(tmp_path / "pq"), with_stablehlo=True)
+    fn = load_stablehlo(path)
+    rec, sub = fn(jnp.asarray(x))
+    rec_ref, sub_ref = w.pqmf.inverse(w.pqmf.forward(jnp.asarray(x))), \
+        w.pqmf.forward(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(sub_ref),
+                               atol=1e-6)
+
+    wt = PQMFPitchShiftWrapperTA(100, 8, 1024, 44100,
+                                 [0, -3, 5, 12, -7, 2, 1, -1])
+    path2 = save_artifact(wt, str(tmp_path / "ta"), with_stablehlo=True)
+    fn2 = load_stablehlo(path2)
+    y = fn2(jnp.asarray(x))
+    y_ref = wt.pitchshifter(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
 
 
 def test_output_changing_config_round_trips(tmp_path):
