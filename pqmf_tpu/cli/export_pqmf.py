@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--attenuation", type=int, default=100)
     p.add_argument("--n_band", type=int, default=16)
     p.add_argument("--buffer", type=int, default=8192)
+    p.add_argument("--stablehlo", action="store_true",
+                   help="also AOT-export the process method (jax.export)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -38,7 +40,7 @@ def main(argv=None):
     print("exporting PQMFWrapper artifact...")
     wrapper = PQMFWrapper(args.attenuation, args.n_band,
                           m_buffer_size=args.buffer)
-    save_artifact(wrapper, args.out_dir)
+    save_artifact(wrapper, args.out_dir, with_stablehlo=args.stablehlo)
     print(f"artifact saved to {args.out_dir}")
 
     loaded, manifest = load_artifact(args.out_dir)
