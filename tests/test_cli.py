@@ -104,3 +104,19 @@ def test_export_pvoc_cli(short_wav, tmp_path, capsys):
     assert (tmp_path / "audio" / "phasevocoder.wav").exists()
     m = json.loads((tmp_path / "art" / "manifest.json").read_text())
     assert m["kind"] == "PQMFPitchShiftWrapper"
+
+
+def test_serving_demo_runs(tmp_path, monkeypatch):
+    """The serving example (export -> AOT reload -> multi-stream scan)
+    runs end to end on CPU."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/serving_demo.py", "--cpu",
+         "--streams", "2", "--blocks", "2", "--buffer", "1024",
+         "--n_band", "8"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "AOT == live wrapper" in r.stdout
+    assert "finite: True" in r.stdout
