@@ -171,7 +171,8 @@ def bench_ta_pitchshift(floor_s, n_blocks=1024):
                      n_blocks, 8192, floor_s)
 
 
-def bench_streams(floor_s, n_streams=16, n_blocks=256):
+def bench_streams(floor_s, n_streams=16, n_blocks=256,
+                  precision="highest"):
     """Multi-stream serving: aggregate realtime factor for n_streams
     concurrent pitch-shift streams, each with its own crossfade state."""
     import jax
@@ -179,7 +180,8 @@ def bench_streams(floor_s, n_streams=16, n_blocks=256):
 
     from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
 
-    w = PQMFPitchShiftWrapper(ATTEN, N_BAND, 8192, SR)
+    w = PQMFPitchShiftWrapper(ATTEN, N_BAND, 8192, SR,
+                              precision=precision)
     blocks = jnp.asarray(
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, n_streams, 8192)).astype(np.float32))
@@ -212,7 +214,9 @@ def main():
     results = {}
     for name, fn in (("pitchshift", bench_pitchshift),
                      ("ta_pitchshift", bench_ta_pitchshift),
-                     ("serving_16stream_aggregate", bench_streams)):
+                     ("serving_16stream_aggregate", bench_streams),
+                     ("serving_16stream_fast", lambda f:
+                      bench_streams(f, precision="default"))):
         try:
             corrected, raw = fn(floor_s)
             results[f"{name}_rtf"] = round(corrected, 1)

@@ -247,14 +247,16 @@ def _ola(y_f: jax.Array, n_fft: int, hop: int):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
-                                   "normalized", "pad_mode"))
+                                   "normalized", "pad_mode", "precision"))
 def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
             center: bool = True, normalized: bool = True,
-            pad_mode: str = "constant"):
+            pad_mode: str = "constant", precision: str = "highest"):
     """:func:`stft` with real/imag outputs via matmul-DFT (MXU path).
 
     x: [B, T] -> (re, im) each [B, F, frames]. Matches torch.stft
-    numerically (float32 HIGHEST-precision matmuls).
+    numerically with the default float32 HIGHEST-precision matmuls;
+    precision="default" runs the DFT on bf16 MXU passes (~7x faster,
+    ~40 dB accurate) for quality-tolerant serving.
     """
     B, T = x.shape
     if center:
@@ -267,7 +269,8 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
 
     framed = _frame_signal(x, n_fft, hop_length, frames) * w  # [B,frames,n_fft]
     C, S = dft_basis(n_fft, x.dtype)
-    hp = jax.lax.Precision.HIGHEST
+    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.DEFAULT)
     # ONE matmul for both real and imaginary parts: each output column is
     # an independent dot over n, so this is bit-identical to two separate
     # products while halving MXU kernel launches
@@ -282,14 +285,15 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
 
 
 def istft_ri_parts(re, im, n_fft, hop_length, window, normalized=True,
-                   frame_mask=None):
+                   frame_mask=None, precision: str = "highest"):
     """OLA core of the real-valued ISTFT: returns (y, wsq) over the full
     padded length ``n_fft + (frames-1)*hop``, with optional per-frame
     masking (variable frames_out under vmap)."""
     B, F, frames = re.shape
     w = _padded_window(window, n_fft)
     Ci, Si = idft_basis(n_fft, re.dtype)
-    hp = jax.lax.Precision.HIGHEST
+    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.DEFAULT)
     # single [.., 2F] @ [2F, n_fft] matmul instead of two + add (the
     # dominant cost of the fused pitchshift step per the device trace)
     ri = jnp.concatenate([re, im], axis=1)  # [B, 2F, frames]

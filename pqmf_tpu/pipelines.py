@@ -73,10 +73,11 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
-                                   "crossfade", "phase_rule"))
+                                   "crossfade", "phase_rule", "precision"))
 def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
                            fade_in, n_fft, hop, win, Tb, FO_max,
-                           crossfade=True, phase_rule="reference"):
+                           crossfade=True, phase_rule="reference",
+                           precision="highest"):
     """Pitch-shift every sub-band in one fused program.
 
     bands: [B, M, Tb]; rates/frames_out: [M].
@@ -94,7 +95,7 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     if Tb < n_fft:  # reference pads short sub-bands right to n_fft
         x = jnp.pad(x, ((0, 0), (0, n_fft - Tb)))
     re, im = S.stft_ri(x, n_fft, hop, window, center=True, normalized=True,
-                       pad_mode="constant")
+                       pad_mode="constant", precision=precision)
     F_, frames = re.shape[1], re.shape[2]
     re = re.reshape(B, M, F_, frames).swapaxes(0, 1)  # [M, B, F, frames]
     im = im.reshape(B, M, F_, frames).swapaxes(0, 1)
@@ -103,7 +104,8 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     trim = n_fft // 2
     one_off = (n_fft - win) // 2  # placement of the 1-frame irfft fallback
     Ci, Si = S.idft_basis(n_fft, bands.dtype)
-    hp = jax.lax.Precision.HIGHEST
+    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.DEFAULT)
 
     def one_band(re_b, im_b, rate, fo):
         """re_b/im_b: [B, F, frames]; rate: f32; fo: i32 (frames_out)."""
@@ -136,7 +138,8 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
 
         # masked OLA ISTFT over the full (untrimmed) buffer
         y, wsq = S.istft_ri_parts(re_s, im_s, n_fft, hop, window,
-                                  normalized=True, frame_mask=fmask)
+                                  normalized=True, frame_mask=fmask,
+                                  precision=precision)
         ola = y / jnp.where(wsq > 1e-11, wsq, 1.0)  # [B, total]
         total = ola.shape[-1]
         i = jnp.arange(total)
@@ -284,6 +287,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
+        self.precision = precision
         self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
                                   use_pallas=use_pallas, mesh=mesh)
 
@@ -382,7 +386,8 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
-            Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule)
+            Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule,
+            precision=self.precision)
         y = self.inverse(shifted)  # [B, 1, T]
         return {"prev_tail": new_tail}, y[:, 0, :]
 
@@ -413,7 +418,8 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
-            Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule)
+            Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule,
+            precision=self.precision)
         y = self.inverse(shifted)
         return ({"prev_tail": jnp.swapaxes(new_tails, 0, 1)}, y[:, 0, :])
 

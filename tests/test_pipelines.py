@@ -446,3 +446,26 @@ def test_long_stream_state_stays_bounded():
     assert np.abs(ys).max() < 10.0 and np.abs(tail).max() < 10.0
     # late blocks keep processing signal (no silent state collapse)
     assert np.sqrt((ys[-50:] ** 2).mean()) > 1e-4
+
+
+def test_fast_serving_precision_mode():
+    """precision='default' (bf16 MXU passes on TPU; plain f32 on CPU) is
+    an opt-in quality/throughput tradeoff: output stays close to the
+    HIGHEST-precision result and the state machinery is unaffected."""
+    shifts = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+    w_hi = PQMFPitchShiftWrapper(100, 16, 8192, 44100, shifts)
+    w_lo = PQMFPitchShiftWrapper(100, 16, 8192, 44100, shifts,
+                                 precision="default")
+    x = np.random.default_rng(21).standard_normal(
+        (1, 8192)).astype(np.float32) * 0.3
+    _, y_hi = w_hi.pitchshift_fn(w_hi.init_state(), x)
+    st, y_lo = w_lo.pitchshift_fn(w_lo.init_state(), x)
+    assert np.isfinite(np.asarray(y_lo)).all()
+    s = snr_db(np.asarray(y_hi), np.asarray(y_lo))
+    assert s > 35, f"fast-mode quality {s:.1f} dB vs HIGHEST"
+    # streams work in fast mode too
+    sts = w_lo.init_streams(4)
+    xs = np.random.default_rng(22).standard_normal(
+        (4, 8192)).astype(np.float32) * 0.3
+    sts, ys = w_lo.pitchshift_streams(sts, xs)
+    assert np.asarray(ys).shape == (4, 8192)

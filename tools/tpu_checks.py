@@ -137,6 +137,17 @@ def main():
             print(f"FAIL  AOT stablehlo export on this platform: {e}")
             ok = False
 
+    # fast-serving mode (bf16 MXU passes): quality floor on chip
+    w_lo = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS,
+                                 precision="default")
+    _, y_lo = w_lo.pitchshift_fn(w_lo.init_state(), xb)
+    _, y_hi = w.pitchshift_fn(w.init_state(), xb)
+    s_fast = snr_db(np.asarray(y_hi), np.asarray(y_lo))
+    good = s_fast > 30
+    print(f"{'PASS' if good else 'FAIL'}  fast-serving (bf16) vs HIGHEST: "
+          f"{s_fast:.1f} dB (need > 30)")
+    ok &= good
+
     # end-to-end quality on a real fixture
     wav, _ = read_wav("/root/reference/audio/flute.wav")
     wav = wav[:1, : (wav.shape[-1] // 8192) * 8192]
