@@ -485,10 +485,11 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
-                                   "pad_left", "Lbuf", "resample_kind"))
+                                   "pad_left", "Lbuf", "resample_kind",
+                                   "precision"))
 def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
                          W, start, n_fft, hop, win, Tb, FO_max, pad_left,
-                         Lbuf, resample_kind="onehot"):
+                         Lbuf, resample_kind="onehot", precision="highest"):
     """All 16 torchaudio-style band shifts in ONE fused program
     (reference per-band loop: PQMFPsWrapper.py:126-144; torchaudio
     PitchShift = accumulate-phase stretch + sinc resample).
@@ -511,19 +512,22 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     # normalized=False convention)
     x = bands.reshape(B * M, Tb)
     re, im = S.stft_ri(x, n_fft, hop, window, center=True, normalized=False,
-                       pad_mode="reflect")
+                       pad_mode="reflect", precision=precision)
     F_, frames = re.shape[1], re.shape[2]
     re = re.reshape(B, M, F_, frames).swapaxes(0, 1)  # [M, B, F, frames]
     im = im.reshape(B, M, F_, frames).swapaxes(0, 1)
     omega = pv.phase_advance(F_, hop, n_fft, dt)
     trim = n_fft // 2
     K_taps = W.shape[-1]
+    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.DEFAULT)
 
     def one_band(re_b, im_b, rate, fo, ls, W_b, st_b):
         re_s, im_s = pv.stretch_accumulate(re_b, im_b, rate, omega, FO_max)
         fmask = (jnp.arange(FO_max) < fo).astype(dt)
         y, wsq = S.istft_ri_parts(re_s, im_s, n_fft, hop, window,
-                                  normalized=False, frame_mask=fmask)
+                                  normalized=False, frame_mask=fmask,
+                                  precision=precision)
         out = y / jnp.where(wsq > 1e-11, wsq, 1.0)
         # torch.istft(length=ls) semantics: [trim, trim+ls), zeros beyond
         ystr = out[:, trim:]
@@ -537,20 +541,17 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
             idx = st_b[:, None] + jnp.arange(K_taps)[None, :]
             g = jnp.take(ystr, idx.reshape(-1), axis=-1,
                          mode="clip").reshape(B, Tb, K_taps)
-            return jnp.einsum("btk,tk->bt", g, W_b,
-                              precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum("btk,tk->bt", g, W_b, precision=hp)
         # gather-free banded resample: C[j, p] = sum_k W[j, k] ystr[p + k]
         # (K_taps shifted slices + one matmul), then z[j] = C[j, start_j]
         # selected by an iota==start one-hot reduce. A jnp.take gather
         # here measured 2.4 ms/block on TPU — ~100x the rest of the step.
         P = Lbuf - K_taps + 1
         Yk = jnp.stack([ystr[:, k:k + P] for k in range(K_taps)], axis=1)
-        C = jnp.einsum("jk,bkp->bjp", W_b, Yk,
-                       precision=jax.lax.Precision.HIGHEST)
+        C = jnp.einsum("jk,bkp->bjp", W_b, Yk, precision=hp)
         sel = (jax.lax.broadcasted_iota(jnp.int32, (Tb, P), 1)
                == st_b[:, None]).astype(dt)
-        return jnp.einsum("bjp,jp->bj", C, sel,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("bjp,jp->bj", C, sel, precision=hp)
 
     z = jax.vmap(one_band)(re, im, rates, frames_out, len_stretch, W, start)
     # n_steps == 0 bands pass through untouched (torchaudio early-out,
@@ -577,6 +578,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
+        self.precision = precision
         self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
                                   use_pallas=use_pallas, mesh=mesh)
 
@@ -693,7 +695,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         shifted = _fused_ta_pitchshift(
             sub, rates, fo, ls, zero, W, start, self._n_fft, self._hop,
             self._win, sub.shape[-1], FO_max, pad_left, Lbuf,
-            resample_kind=resample_kind)
+            resample_kind=resample_kind, precision=self.precision)
         return self.inverse(shifted)
 
     def pitchshifter(self, x):
