@@ -47,7 +47,8 @@ def main(argv=None):
     from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
 
     shifts = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
-    shifts = shifts[: args.n_band]
+    # cycle to any band count (the wrapper asserts len(shifts) == n_band)
+    shifts = [shifts[i % len(shifts)] for i in range(args.n_band)]
 
     with tempfile.TemporaryDirectory() as td:
         # 1. export (the TorchScript-archive analog)

@@ -231,14 +231,9 @@ def load_artifact(path: str):
 
 
 def _restore_pqmf_weights(pqmf, weights):
-    pqmf.params = {
-        "h": jnp.asarray(weights["h"]),
-        "hk": jnp.asarray(weights["hk"]),
-        "hk_poly": jnp.asarray(weights["hk_poly"]),
-        "hk_ipoly": jnp.asarray(weights["hk_ipoly"]),
-    }
-    pqmf.hkf = jnp.asarray(weights["hkf"])
-    pqmf.hki = jnp.asarray(weights["hki"])
+    pqmf.set_weights(
+        {k: weights[k] for k in ("h", "hk", "hk_poly", "hk_ipoly")},
+        weights["hkf"], weights["hki"])
 
 
 def _init_wrapper_from_weights(wrapper, cfg, weights, manifest):

@@ -109,13 +109,12 @@ class PQMF:
             use_pallas = (polyphase and _pk.pallas_available()
                           and _pk.supports(n_band, (halo,)))
         self.use_pallas = bool(use_pallas)
-        if mesh is not None and self.use_pallas:
-            band = mesh.shape[mesh.axis_names[1]]
-            if n_band % band or (n_band // band) % 2:
-                raise ValueError(
-                    f"band axis size {band} must divide n_band={n_band} "
-                    f"into even shards for the Pallas kernels")
-        self.mesh = mesh if self.use_pallas else None
+        if self.use_pallas:
+            from pqmf_tpu.kernels.polyphase import check_band_mesh
+
+            self.mesh = check_band_mesh(mesh, n_band)
+        else:
+            self.mesh = None
         # convenient aliases mirroring the reference's buffers
         self.h = self.params["h"]
         self.hk = self.params["hk"]

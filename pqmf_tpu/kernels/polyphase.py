@@ -67,6 +67,24 @@ def supports(n_band: int, halos=()) -> bool:
     return all(int(h) <= 128 for h in halos)
 
 
+def check_band_mesh(mesh, n_band: int):
+    """Validate a (data, band) mesh for the band-partitioned kernels: the
+    band axis must divide ``n_band`` into even shards (the fused
+    reverse_half sign mask needs local band parity == global). Returns the
+    mesh (or None) so callers can store the validated value."""
+    if mesh is None:
+        return None
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            f"expected a 2-axis (data, band) mesh, got {mesh.axis_names}")
+    band = mesh.shape[mesh.axis_names[1]]
+    if n_band % band or (n_band // band) % 2:
+        raise ValueError(
+            f"band axis size {band} must divide n_band={n_band} "
+            f"into even shards for the Pallas kernels")
+    return mesh
+
+
 def _should_interpret(interpret):
     if interpret is None:
         return not pallas_available()

@@ -19,8 +19,8 @@ Pallas path, :class:`ShardedPitchShift` hands the mesh to
 ``StreamingPQMF``, which wraps the kernels in ``shard_map`` over the
 band axis (each device runs its even-sized band shard of the bank;
 synthesis psums the partial outputs) — see
-``pqmf_tpu.streaming._shard_analysis_call`` /
-``_shard_synthesis_call``. Odd band shards (band axis > n_band/2) fall
+``pqmf_tpu.streaming.shard_band_analysis`` /
+``shard_band_synthesis``. Odd band shards (band axis > n_band/2) fall
 back to replicated kernels, which stay correct.
 """
 
@@ -82,10 +82,15 @@ class ShardedPitchShift:
                 from pqmf_tpu.streaming import StreamingPQMF
 
                 wrapper = copy.copy(wrapper)
-                wrapper.pqmf = StreamingPQMF(
+                new_pq = StreamingPQMF(
                     pq.attenuation, pq.n_band, precision=pq.precision,
                     use_pallas=True, mesh=pq_mesh,
                     n_channels=pq.n_channels)
+                # carry the ORIGINAL filterbank's weights: an artifact-
+                # restored (or fine-tuned) bank must survive the rebuild,
+                # not be replaced by a fresh design-chain run
+                new_pq.set_weights(pq.params, pq.hkf, pq.hki)
+                wrapper.pqmf = new_pq
         self.wrapper = wrapper
         self._x_s = NamedSharding(mesh, P("data", None, None))
         self._tail_s = NamedSharding(mesh, P("band", None))

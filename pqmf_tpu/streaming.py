@@ -303,19 +303,25 @@ class StreamingPQMF:
 
     def _check_mesh(self, mesh):
         """Validate a (data, band) mesh for the band-partitioned Pallas
-        path: the band axis must divide n_band into even shards (the fused
-        sign mask needs local band parity == global)."""
-        if mesh is None:
-            return None
-        if len(mesh.axis_names) != 2:
-            raise ValueError(
-                f"expected a 2-axis (data, band) mesh, got {mesh.axis_names}")
-        band = mesh.shape[mesh.axis_names[1]]
-        if self.n_band % band or (self.n_band // band) % 2:
-            raise ValueError(
-                f"band axis size {band} must divide n_band={self.n_band} "
-                f"into even shards for the Pallas kernels")
-        return mesh
+        path (see kernels.polyphase.check_band_mesh)."""
+        from pqmf_tpu.kernels.polyphase import check_band_mesh
+
+        return check_band_mesh(mesh, self.n_band)
+
+    def set_weights(self, params, hkf, hki):
+        """Install filterbank weights (e.g. restored from an artifact or a
+        fine-tuned bank) in place of the designed ones, recomputing the
+        latency bookkeeping, which depends on the kernel lengths."""
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.hkf = jnp.asarray(hkf)
+        self.hki = jnp.asarray(hki)
+        M = self.n_band
+        a_left, a_right = centered_padding(self.hkf.shape[-1], M)
+        _, s_right = centered_padding(self.hki.shape[-1], 1)
+        self.stream_vs_centered_delay = a_right + s_right * M
+        self.centered_advance = self.hkf.shape[-1] // 2 - a_left
+        self.latency_samples = (self.stream_vs_centered_delay
+                                + self.centered_advance)
 
     # -- channel folding ------------------------------------------------------
 

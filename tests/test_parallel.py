@@ -189,3 +189,47 @@ def test_remat_train_step_matches_plain():
     assert abs(float(la) - float(lb)) < 1e-7
     np.testing.assert_allclose(np.asarray(sb.hk), np.asarray(sa.hk),
                                atol=1e-7)
+
+
+def test_sharded_pitchshift_preserves_restored_weights():
+    """ShardedPitchShift's mesh-enabled filterbank rebuild must carry the
+    wrapper's CURRENT weights (e.g. restored from an artifact or
+    fine-tuned), not re-run the design chain (code-review r2 finding)."""
+    w = PQMFPitchShiftWrapper(70, 16, m_buffer_size=1024, use_pallas=True)
+    # simulate a fine-tuned / artifact-restored bank: perturb everything
+    scale = 1.05
+    w.pqmf.set_weights({k: np.asarray(v) * scale
+                        for k, v in w.pqmf.params.items()},
+                       np.asarray(w.pqmf.hkf) * scale,
+                       np.asarray(w.pqmf.hki) * scale)
+
+    mesh = make_mesh(8, n_band=16)  # band axis 8 -> 2 bands/device (even)
+    sharded = ShardedPitchShift(w, mesh)
+    assert sharded.wrapper.pqmf is not w.pqmf  # rebuilt for the mesh...
+    np.testing.assert_array_equal(  # ...but with the restored weights
+        np.asarray(sharded.wrapper.pqmf.hkf), np.asarray(w.pqmf.hkf))
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 1, 256)).astype(np.float32) * 0.1)
+    _, y_s = sharded(sharded.init_state(), x)
+    _, y = w.pitchshift_fn(w.init_state(), x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_bad_mesh_raises_clear_error_everywhere():
+    """Both PQMF and StreamingPQMF reject invalid meshes with the shared
+    check_band_mesh ValueError (not an IndexError)."""
+    from jax.sharding import Mesh
+
+    from pqmf_tpu import PQMF
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    one_axis = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    with pytest.raises(ValueError, match="2-axis"):
+        PQMF(70, 8, use_pallas=True, mesh=one_axis)
+    with pytest.raises(ValueError, match="2-axis"):
+        StreamingPQMF(70, 8, use_pallas=True, mesh=one_axis)
+    odd_shards = make_mesh(8, n_band=8)  # band axis 8 -> 1 band/device
+    with pytest.raises(ValueError, match="even shards"):
+        StreamingPQMF(70, 8, use_pallas=True, mesh=odd_shards)
