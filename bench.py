@@ -59,13 +59,16 @@ def bench_jax(x, chain=50):
     import jax
     import jax.numpy as jnp
 
-    from pqmf_tpu import PQMF
+    from pqmf_tpu.streaming import StreamingPQMF
 
-    pq = PQMF(ATTEN, N_BAND)
+    pq = StreamingPQMF(ATTEN, N_BAND)
 
     @jax.jit
     def roundtrip(v):
-        return pq.inverse(pq.forward(v))
+        # the fused grouped-layout round trip (same conv geometry as the
+        # reference's exported CachedPQMF artifact, pqmf.py:306-354);
+        # bit-identical to pq.inverse(pq.forward(v))
+        return pq.roundtrip(v)
 
     @jax.jit
     def chained(v):
@@ -76,8 +79,14 @@ def bench_jax(x, chain=50):
     float(chained(xb).sum())  # compile + sync
     best = _best_seconds(lambda: float(chained(xb).sum()), REPEATS)
     per_call = best / chain
-    snr = 10 * np.log10(float(np.sum(x ** 2))
-                        / float(np.sum((np.asarray(y)[0, 0] - x) ** 2)))
+    # the centered cached round trip delays its output by a constant
+    # pq.centered_advance samples (streaming.py latency bookkeeping);
+    # align before the SNR like the parity tests' best_aligned_snr does
+    d = pq.centered_advance
+    ya = np.asarray(y)[0, 0][d:]
+    xa = x[: len(x) - d]
+    snr = 10 * np.log10(float(np.sum(xa ** 2))
+                        / float(np.sum((ya - xa) ** 2)))
     return (len(x) / SR) / per_call, snr, jax.devices()[0].platform
 
 

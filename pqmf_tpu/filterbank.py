@@ -180,4 +180,30 @@ class PQMF:
         )
         return y.reshape(B, C, Tp * self.n_band)
 
+    def roundtrip(self, x):
+        """``inverse(forward(x))`` as one fused program ([B, C, T] ->
+        [B, C, T]). On the time-grouped Pallas path the sub-bands stay in
+        the kernels' grouped layout between the two polyphase convs
+        (kernels.polyphase.polyphase_roundtrip, equal to the composition
+        up to ~1e-6 accumulation-split round-off — see its docstring);
+        other configurations fall back to the composition.
+        """
+        from pqmf_tpu.kernels import polyphase as _pk
+
+        x = self._to_bct(x, self.n_channels)
+        if self.n_band == 1:
+            return x
+        B, C, T = x.shape
+        if T % self.n_band:
+            raise ValueError(
+                f"T={T} must be divisible by n_band={self.n_band}")
+        if not (self.use_pallas and self.polyphase and self.mesh is None
+                and _pk.roundtrip_supported(
+                    self.n_band, self.params["hk_ipoly"].shape[-1])):
+            return self.inverse(self.forward(x))
+        y = _pk.polyphase_roundtrip(
+            x.reshape(B * C, 1, T), self.params["hk_poly"],
+            self.params["hk_ipoly"])
+        return y.reshape(B, C, T)
+
     __call__ = forward

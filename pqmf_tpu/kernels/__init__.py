@@ -11,7 +11,11 @@ read of the input and one HBM write of the output each.
 from pqmf_tpu.kernels.polyphase import (
     pallas_available,
     polyphase_analysis,
+    polyphase_roundtrip,
     polyphase_synthesis,
+    roundtrip_supported,
 )
 
-__all__ = ["polyphase_analysis", "polyphase_synthesis", "pallas_available"]
+__all__ = ["polyphase_analysis", "polyphase_synthesis",
+           "polyphase_roundtrip", "roundtrip_supported",
+           "pallas_available"]

@@ -50,7 +50,8 @@ from pqmf_tpu.kernels.polyphase import (
     supports,
 )
 
-__all__ = ["strided_analysis_conv", "dense_synthesis_conv"]
+__all__ = ["strided_analysis_conv", "dense_synthesis_conv",
+           "fused_roundtrip_conv", "fused_roundtrip_supported"]
 
 _FRAMES_VMEM_BYTES = 4 << 20
 
@@ -95,22 +96,30 @@ def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt):
     out_ref[:] = acc[None]
 
 
-def _grouped_matmul_conv(xr, w2, S, U, tile, interpret):
-    """Generic grouped conv: output[u] = w2 @ xr-window(u*S, L*S).
+def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat"):
+    """Generic grouped conv: output[u] = w2 @ x-window(u*S, L*S).
 
-    xr: [B, Traw] pre-padded; w2: [Q, L*S] with Q % 8 == 0; returns
-    [B, Q, U].
+    layout "flat": x [B, Traw] pre-padded row-major (col, s) — one XLA
+    transpose builds the [B, S, cols] kernel input. layout "cols": x
+    [B, S, V] already column-major (the grouped layout itself — e.g. the
+    output of another grouped conv); columns are zero-extended to the
+    window coverage. w2: [Q, L*S] with Q % 8 == 0; returns [B, Q, U].
     """
-    B, Traw = xr.shape
     Q, LS = w2.shape
     L = LS // S
     Tt = int(min(tile, max(128, 1 << (U - 1).bit_length())))
     nt = -(-U // Tt)
     win = Tt + -(-L // 128) * 128
-    need = ((nt - 1) * Tt + win) * S
-    if need > Traw:
-        xr = jnp.pad(xr, ((0, 0), (0, need - Traw)))
-    xp = jnp.swapaxes(xr[:, :need].reshape(B, need // S, S), 1, 2)
+    cols = (nt - 1) * Tt + win
+    if layout == "cols":
+        B, _, V = x.shape
+        xp = (jnp.pad(x, ((0, 0), (0, 0), (0, cols - V)))
+              if cols > V else x[:, :, :cols])
+    else:
+        B, Traw = x.shape
+        need = cols * S
+        xr = jnp.pad(x, ((0, 0), (0, need - Traw))) if need > Traw else x
+        xp = jnp.swapaxes(xr[:, :need].reshape(B, need // S, S), 1, 2)
 
     out = pl.pallas_call(
         functools.partial(_grouped_acc_kernel, S=S, L=L, Tt=Tt, nt=nt),
@@ -122,9 +131,9 @@ def _grouped_matmul_conv(xr, w2, S, U, tile, interpret):
         ],
         out_specs=pl.BlockSpec((1, Q, Tt), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Q, nt * Tt), xr.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Q, nt * Tt), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, S, win), xr.dtype),
+            pltpu.VMEM((2, S, win), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_should_interpret(interpret),
@@ -149,10 +158,33 @@ def _ana_kernel(x_hbm, w_ref, out_ref, xw2, frames, sem2, *, M, Mout, L, Tt,
     out_ref[:] = y[None]
 
 
+def _ana_grouped_weights(w, M, G, fuse_mask, dtype):
+    """Extended analysis weight matrix for the time-grouped scheme:
+    rows q = r*Mb + c with group r's taps shifted by r*M; the fused
+    reverse_half output mask folds in as a row sign. Returns (w2, S, L)."""
+    Mb, _, K = w.shape
+    S = G * M
+    K_ext = K + (G - 1) * M
+    L = -(-K_ext // S)
+    base = jnp.pad(w[:, 0, :], ((0, 0), (0, L * S - K)))
+    # row group r shifts the taps by r*M (no wraparound: K_ext <= L*S)
+    rows = jnp.stack([jnp.roll(base, r * M, axis=1) for r in range(G)])
+    if fuse_mask:
+        # reverse_half on the OUTPUT: -1 where band c odd and t even;
+        # parity(t) = parity(r) since t = G*u + r with G even
+        c = jnp.arange(Mb)
+        r = jnp.arange(G)
+        sign = jnp.where((c[None, :] % 2 == 1) & (r[:, None] % 2 == 0),
+                         -1.0, 1.0).astype(dtype)
+        rows = rows * sign[:, :, None]
+    return rows.reshape(G * Mb, L * S), S, L
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("M", "tile", "interpret", "fuse_mask"))
+                   static_argnames=("M", "tile", "interpret", "fuse_mask",
+                                    "out_layout"))
 def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
-                          fuse_mask=True):
+                          fuse_mask=True, out_layout="bands"):
     """Valid stride-M conv of a pre-padded mono signal + optional fused
     reverse_half on the output.
 
@@ -162,6 +194,12 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
     equals the global one). Returns [B, Mb, T_out] with
     ``T_out = (Tpad - K) // M + 1`` — equal to
     ``reverse_half(conv1d(x, w_full, stride=M, padding=0))[:, :Mb]``.
+
+    ``out_layout="grouped"`` (time-grouped path only) returns the raw
+    grouped output [B, G*Mb, U] instead — rows (r, c) = band c at
+    sub-band time G*u + r — skipping the band re-interleave transpose;
+    columns past T_out in the last group carry edge-conv values the
+    caller must mask (see fused_roundtrip_conv).
     """
     B, _, Tpad = x.shape
     Mb, _, K = w.shape
@@ -173,26 +211,17 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
     G = 128 // M if 128 % M == 0 else 1
     if G >= 2 and (G * Mb) % 8 == 0:
         # time-grouped path: stride G*M = 128, output channels (r, c)
-        S = G * M
+        w2, S, _ = _ana_grouped_weights(w, M, G, fuse_mask, x.dtype)
         U = -(-T_out // G)
-        K_ext = K + (G - 1) * M
-        L = -(-K_ext // S)
-        base = jnp.pad(w[:, 0, :], ((0, 0), (0, L * S - K)))
-        # row group r shifts the taps by r*M (no wraparound: K_ext <= L*S)
-        rows = jnp.stack([jnp.roll(base, r * M, axis=1) for r in range(G)])
-        if fuse_mask:
-            # reverse_half on the OUTPUT: -1 where band c odd and t even;
-            # parity(t) = parity(r) since t = G*u + r with G even
-            c = jnp.arange(Mb)
-            r = jnp.arange(G)
-            sign = jnp.where((c[None, :] % 2 == 1) & (r[:, None] % 2 == 0),
-                             -1.0, 1.0).astype(x.dtype)
-            rows = rows * sign[:, :, None]
-        w2 = rows.reshape(G * Mb, L * S)
         out = _grouped_matmul_conv(x[:, 0, :], w2, S, U, tile, interpret)
+        if out_layout == "grouped":
+            return out
         y = out.reshape(B, G, Mb, U)
         y = jnp.transpose(y, (0, 2, 3, 1)).reshape(B, Mb, U * G)
         return y[:, :, :T_out]
+    if out_layout == "grouped":
+        raise ValueError("grouped layout needs the time-grouped path "
+                         f"(128 % M == 0, (128//M)*Mb % 8 == 0; M={M})")
 
     L = -(-K // M)  # kernel taps in M-sized rows
     Tt, nt = _tile(tile, L, M, T_out)
@@ -258,6 +287,33 @@ def _syn_kernel(x_hbm, v_ref, out_ref, xw2, frames, sem2, *, M, Mout, L, Tt,
     out_ref[:] = y[None]
 
 
+def _syn_grouped_weights(w, G, fuse_mask, x_offset, dtype):
+    """Extended synthesis weight matrix for the time-grouped scheme:
+    output rows (r, c) = phase c at time-phase r, contraction over
+    (l8, j, m) = sub-band m at source time-phase j in column block l8;
+    the band flip, full-M gain, and (optionally) the reverse_half INPUT
+    sign pattern fold in. Returns (v2, S, L8)."""
+    M, Mb, K = w.shape
+    L8 = -(-(K + G - 1) // G)
+    w_eff = M * jnp.flip(w, axis=0)  # phase flip + full-M gain
+    wt = jnp.pad(w_eff, ((0, 0), (0, 0), (0, L8 * G - K)))
+    # stack[r, c, m, tap'] = w_eff[c, m, tap' - r] (tap' = G*l8 + j)
+    stack = jnp.stack([jnp.roll(wt, r, axis=-1) for r in range(G)])
+    if fuse_mask:
+        # reverse_half on the INPUT source sample tau = G*(u+l8) + j:
+        # parity(tau + x_offset) = parity(tap' + x_offset) for even G
+        m = jnp.arange(Mb)
+        tap = jnp.arange(L8 * G)
+        sign = jnp.where(
+            (m[:, None] % 2 == 1) & ((tap[None, :] + x_offset) % 2 == 0),
+            -1.0, 1.0).astype(dtype)
+        stack = stack * sign[None, None, :, :]
+    # V[(r, c), (l8, j, m)] = stack[r, c, m, l8*G + j]
+    v2 = stack.reshape(G, M, Mb, L8, G)
+    v2 = jnp.transpose(v2, (0, 1, 3, 4, 2)).reshape(G * M, L8 * G * Mb)
+    return v2, G * Mb, L8
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tile", "interpret", "fuse_mask",
                                     "x_offset"))
@@ -291,33 +347,18 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
     if G >= 2 and (G * Mb) % 8 == 0 and (G * M) % 8 == 0:
         # time-grouped path: input rows (j, m) = sub-band m at time-phase
         # j, output channels (r, c) = phase c at time-phase r
-        S = G * Mb
+        v2, S, L8 = _syn_grouped_weights(w, G, fuse_mask, x_offset, x.dtype)
         U = -(-T_out // G)
-        L8 = -(-(K + G - 1) // G)
-        w_eff = M * jnp.flip(w, axis=0)  # phase flip + full-M gain
-        wt = jnp.pad(w_eff, ((0, 0), (0, 0), (0, L8 * G - K)))
-        # stack[r, c, m, tap'] = w_eff[c, m, tap' - r] (tap' = G*l8 + j)
-        stack = jnp.stack([jnp.roll(wt, r, axis=-1) for r in range(G)])
-        if fuse_mask:
-            # reverse_half on the INPUT source sample tau = G*(u+l8) + j:
-            # parity(tau + x_offset) = parity(tap' + x_offset) for even G
-            m = jnp.arange(Mb)
-            tap = jnp.arange(L8 * G)
-            sign = jnp.where(
-                (m[:, None] % 2 == 1) & ((tap[None, :] + x_offset) % 2 == 0),
-                -1.0, 1.0).astype(x.dtype)
-            stack = stack * sign[None, None, :, :]
-        # V[(r, c), (l8, j, m)] = stack[r, c, m, l8*G + j]
-        v2 = stack.reshape(G, M, Mb, L8, G)
-        v2 = jnp.transpose(v2, (0, 1, 3, 4, 2)).reshape(G * M, L8 * S)
-        # xr raw stream: window u must cover xG[:, u : u + L8] where
-        # xG[(j*Mb + m), v] = x[m, G*v + j] — i.e. x transposed to
-        # time-phase-major and flattened time-major
+        # window u must cover xp[:, u : u + L8] where
+        # xp[(j*Mb + m), v] = x[m, G*v + j] — ONE transpose builds it
+        # (the earlier two-step xG form measured 0.48 vs 0.38 ms on the
+        # 60 s signal; the permute composition was not being fused)
         V = -(-max(Tpad, (U - 1 + L8) * G) // G)
         xs = jnp.pad(x, ((0, 0), (0, 0), (0, V * G - Tpad)))
-        xG = jnp.transpose(xs.reshape(B, Mb, V, G), (0, 2, 3, 1))
-        xr = xG.reshape(B, V * G * Mb)  # row-major (v, j, m): stride S per v
-        out = _grouped_matmul_conv(xr, v2, S, U, tile, interpret)
+        xp = jnp.transpose(xs.reshape(B, Mb, V, G), (0, 3, 1, 2))
+        xp = xp.reshape(B, S, V)
+        out = _grouped_matmul_conv(xp, v2, S, U, tile, interpret,
+                                   layout="cols")
         z = out.reshape(B, G, M, U)
         z = jnp.transpose(z, (0, 3, 1, 2)).reshape(B, U * G, M)
         return z[:, :T_out, :]  # [B, T_out, M]
@@ -361,3 +402,73 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
         interpret=_should_interpret(interpret),
     )(x, v2)
     return jnp.swapaxes(out[:, :, :T_out], 1, 2)  # [B, T_out, M]
+
+
+def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
+    """The grouped pass-through round trip needs the time-grouped scheme
+    on both convs and a group-aligned synthesis left pad."""
+    if 128 % M or not supports(M):
+        return False
+    G = 128 // M
+    return G >= 2 and (G * M) % 8 == 0 and syn_pad_left % G == 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("M", "syn_pad", "tile", "interpret"))
+def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
+                         interpret=None):
+    """Analysis -> synthesis round trip with the sub-bands kept in the
+    time-grouped layout in between.
+
+    The grouped analysis output — rows (r, c) = band c at sub-band time
+    G*u + r — is EXACTLY the layout the grouped synthesis kernel consumes
+    (rows (j, m)), so the band re-interleave transpose after analysis and
+    the time-phase interleave transpose before synthesis (0.48 ms alone
+    on a 60 s signal — more than either kernel) both vanish; and since
+    ``reverse_half`` is applied twice in a round trip (after analysis,
+    before synthesis; reference pqmf.py:257, 283) and is its own inverse,
+    neither kernel applies the sign mask.
+
+    x: [B, 1, Tpad] pre-padded for the analysis conv (stride M, kernel
+    w_ana [M, 1, Ka]); w_syn: [M, M, Ks]; syn_pad = (left, right) zero
+    padding of the sub-band signal before the stride-1 synthesis conv,
+    with left % (128//M) == 0 (see fused_roundtrip_supported).
+    Returns [B, T_syn_out, M] time-major, bit-identical to
+
+        dense_synthesis_conv(pad(strided_analysis_conv(x, w_ana, M),
+                                 syn_pad), w_syn)
+
+    with both fuse_masks on (the masks cancel elementwise before the
+    weights touch the data).
+    """
+    B, _, Tpad = x.shape
+    Mb, _, Ka = w_ana.shape
+    Ks = w_syn.shape[-1]
+    if Mb != M or w_syn.shape[0] != M or w_syn.shape[1] != M:
+        raise ValueError("fused round trip is full-bank only (Mb == M)")
+    G = 128 // M if 128 % M == 0 else 1
+    pl_, pr_ = syn_pad
+    if not (G >= 2 and (G * M) % 8 == 0 and pl_ % G == 0):
+        raise ValueError(
+            f"unsupported fused-roundtrip geometry (M={M}, left pad {pl_});"
+            " gate with fused_roundtrip_supported()")
+    T_ana = (Tpad - Ka) // M + 1
+
+    w2a, Sa, _ = _ana_grouped_weights(w_ana, M, G, False, x.dtype)
+    Ua = -(-T_ana // G)
+    ga = _grouped_matmul_conv(x[:, 0, :], w2a, Sa, Ua, tile, interpret)
+
+    # the last group's rows past T_ana hold edge-conv values (the
+    # analysis window still overlaps real samples there); the composed
+    # path trims them and re-pads with true zeros — zero them here
+    rem = T_ana - (Ua - 1) * G
+    if rem < G:
+        ga = ga.at[:, rem * M:, Ua - 1].set(0.0)
+
+    v2, Ss, _ = _syn_grouped_weights(w_syn, G, False, 0, x.dtype)
+    ga = jnp.pad(ga, ((0, 0), (0, 0), (pl_ // G, 0)))
+    T_out = pl_ + T_ana + pr_ - Ks + 1
+    Us = -(-T_out // G)
+    z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret, layout="cols")
+    z = jnp.transpose(z.reshape(B, G, M, Us), (0, 3, 1, 2))
+    return z.reshape(B, Us * G, M)[:, :T_out, :]

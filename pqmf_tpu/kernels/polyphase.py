@@ -33,8 +33,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["polyphase_analysis", "polyphase_synthesis", "pallas_available",
-           "supports"]
+__all__ = ["polyphase_analysis", "polyphase_synthesis",
+           "polyphase_roundtrip", "roundtrip_supported",
+           "pallas_available", "supports"]
 
 DEFAULT_TILE = 2048
 # frames scratch [L*M, Tt] must fit comfortably in VMEM alongside the
@@ -204,3 +205,45 @@ def polyphase_synthesis(x, hk_ipoly, tile=DEFAULT_TILE, interpret=None):
                                   interpret=interpret,
                                   x_offset=-off)  # [B, Tp, M]
     return out.reshape(B, 1, Tp * M)
+
+
+def roundtrip_supported(n_band: int, syn_taps: int) -> bool:
+    """Whether the grouped pass-through round trip applies (see
+    cached_conv.fused_roundtrip_supported); ``syn_taps`` is the synthesis
+    bank's taps-per-phase (hk_ipoly.shape[-1])."""
+    from pqmf_tpu.kernels import cached_conv as cc
+
+    return cc.fused_roundtrip_supported(n_band, syn_taps // 2)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def polyphase_roundtrip(x, hk_poly, hk_ipoly, tile=DEFAULT_TILE,
+                        interpret=None):
+    """Analysis -> synthesis round trip fused at the grouped-layout level
+    (cached_conv.fused_roundtrip_conv): the sub-bands never leave the
+    kernels' (time-phase, band) layout, and the two reverse_half masks
+    cancel. Equal to
+    ``polyphase_synthesis(polyphase_analysis(x, hk_poly), hk_ipoly)`` up
+    to float32 accumulation-split round-off (~1e-6: the one-step
+    alignment shift below lands each output in a different matmul row
+    group, which partitions the synthesis tap sum differently).
+
+    x: [B, 1, T] (T divisible by M); returns [B, 1, T].
+    """
+    from pqmf_tpu.kernels import cached_conv as cc
+
+    B, _, T = x.shape
+    Mb, M, L = hk_poly.shape
+    w2 = jnp.transpose(hk_poly, (0, 2, 1)).reshape(Mb, 1, L * M)
+    xq = jnp.pad(x, ((0, 0), (0, 0),
+                     ((L // 2) * M, (L - L // 2 - 1) * M)))
+    Ls = hk_ipoly.shape[-1]
+    # the composed synthesis pads (Ls//2 - 1, Ls//2); pad one more on
+    # each side here — group-aligned on the left — which shifts every
+    # output window one step later and yields one extra trailing step, so
+    # drop the first output step: out_fused[t'+1] covers exactly
+    # out_composed[t']'s window
+    out = cc.fused_roundtrip_conv(xq, w2, hk_ipoly, M,
+                                  (Ls // 2, Ls - Ls // 2), tile=tile,
+                                  interpret=interpret)
+    return out[:, 1:, :].reshape(B, 1, T)

@@ -368,6 +368,28 @@ class StreamingPQMF:
                                  use_pallas=self.use_pallas, mesh=self.mesh)
         return y.reshape(B, self.n_channels, -1)
 
+    def roundtrip(self, x):
+        """``inverse(forward(x))`` as one fused program ([B, C, T] ->
+        [B, C, T]). On the time-grouped Pallas path the sub-bands stay in
+        the kernels' grouped layout between the two convs
+        (kernels.cached_conv.fused_roundtrip_conv — no re-interleave
+        transposes, and the two reverse_half masks cancel); other
+        configurations fall back to the composition. Output is
+        bit-identical either way."""
+        from pqmf_tpu.kernels import cached_conv as cc
+
+        M = self.n_band
+        sl, sr = centered_padding(self.hki.shape[-1], 1)
+        if (not self.use_pallas or self.mesh is not None or M == 1
+                or not cc.fused_roundtrip_supported(M, sl)):
+            return self.inverse(self.forward(x))
+        xf, B = self._fold(x)
+        Ka = self.hkf.shape[-1]
+        al, ar = centered_padding(Ka, M)
+        xx = jnp.pad(xf, ((0, 0), (0, 0), (al, ar)))
+        out = cc.fused_roundtrip_conv(xx, self.hkf, self.hki, M, (sl, sr))
+        return out.reshape(B, self.n_channels, -1)
+
     # -- streaming ----------------------------------------------------------
 
     def init_state(self, batch: int = 1, dtype=jnp.float32) -> dict:

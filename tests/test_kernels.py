@@ -116,3 +116,50 @@ def test_ungrouped_fallback_m128_matches_lax():
     got2 = polyphase_synthesis(s, p["hk_ipoly"])
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_band", [8, 16, 32])
+def test_fused_roundtrip_matches_composition(n_band):
+    """The grouped pass-through round trip (kernels.cached_conv.
+    fused_roundtrip_conv — no re-interleave transposes, reverse_half
+    masks cancelled) equals inverse(forward(x)): bit-exact on the
+    cached path (group-aligned pads), <=5e-6 on the polyphase path
+    (the drop-one-step alignment splits the tap accumulation across a
+    different matmul row group). Covers T/M % G != 0 (partial last
+    group masking) and batch/channel folding."""
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    rng = np.random.default_rng(11)
+    G = 128 // n_band
+    for T in (256 * n_band, (128 * G + 3) * n_band):
+        x = rng.standard_normal((2, 2, T)).astype(np.float32)
+        pq = PQMF(70, n_band, n_channels=2, use_pallas=True)
+        np.testing.assert_allclose(
+            np.asarray(pq.roundtrip(x)),
+            np.asarray(pq.inverse(pq.forward(x))), atol=5e-6, rtol=0)
+        sp = StreamingPQMF(70, n_band, n_channels=2, use_pallas=True)
+        np.testing.assert_array_equal(
+            np.asarray(sp.roundtrip(x)),
+            np.asarray(sp.inverse(sp.forward(x))))
+
+
+def test_roundtrip_falls_back_off_pallas_and_on_mesh():
+    """Configurations outside the fused path still answer through the
+    composition (lax path; band-sharded mesh)."""
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((1, 1, 4096)).astype(np.float32)
+    pq = PQMF(70, 16, use_pallas=False)
+    np.testing.assert_array_equal(
+        np.asarray(pq.roundtrip(x)),
+        np.asarray(pq.inverse(pq.forward(x))))
+    import jax
+    if len(jax.devices()) >= 8:
+        from pqmf_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(8, n_band=16)
+        sp = StreamingPQMF(70, 16, use_pallas=True, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(sp.roundtrip(x)),
+            np.asarray(sp.inverse(sp.forward(x))), atol=1e-6, rtol=0)

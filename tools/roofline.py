@@ -77,6 +77,10 @@ def main():
          lambda v: sp.inverse(sp.forward(v.reshape(shape))).reshape(shape),
          4 * T * f32,
          2 * (T // M) * M * (-(-Ka // M) * M) + 2 * (T // M) * M * (Ks * M)),
+        ("fused roundtrip (grouped pass-through)",
+         lambda v: sp.roundtrip(v.reshape(shape)).reshape(shape),
+         2 * T * f32,
+         2 * (T // M) * M * (-(-Ka // M) * M) + 2 * (T // M) * M * (Ks * M)),
     ]
 
     print(f"{'kernel':34s} {'ms':>8s} {'GB/s':>8s} {'GFLOP/s':>9s} "

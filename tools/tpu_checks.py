@@ -67,6 +67,15 @@ def main():
     ok &= check("streaming blocks pallas==lax",
                 float(jnp.abs(yr - yp).max()), 5e-5)
 
+    # fused grouped-layout round trips == the compositions, natively
+    ok &= check("fused cached roundtrip == composed",
+                float(jnp.abs(palq.roundtrip(x)
+                              - palq.inverse(palq.forward(x))).max()), 0.0)
+    ppq = PQMF(100, 16, use_pallas=True)
+    ok &= check("fused polyphase roundtrip == composed",
+                float(jnp.abs(ppq.roundtrip(x)
+                              - ppq.inverse(ppq.forward(x))).max()), 5e-6)
+
     # fused flagship pitchshift ON CHIP vs the torch oracle on CPU
     sys.path.insert(0, "tests")
     from test_pipelines import SHIFTS, torch_flagship_pitchshift
