@@ -50,7 +50,7 @@ def _best_seconds(call, repeats=3):
     return best
 
 
-def bench_jax(x, chain=50):
+def bench_jax(x, chain=50, precision="highest"):
     """Times `chain` back-to-back roundtrips inside ONE jitted program
     (lax.fori_loop) and divides: this measures on-chip throughput. A
     single dispatched call would instead measure the host<->device
@@ -61,7 +61,7 @@ def bench_jax(x, chain=50):
 
     from pqmf_tpu.streaming import StreamingPQMF
 
-    pq = StreamingPQMF(ATTEN, N_BAND)
+    pq = StreamingPQMF(ATTEN, N_BAND, precision=precision)
 
     @jax.jit
     def roundtrip(v):
@@ -212,6 +212,12 @@ def main():
     x = _signal(n)
     rtf, snr, platform = bench_jax(x)
     try:
+        # bf16x3 tier: split-operand 3-pass MXU dots, ~2^-16 relative of
+        # full f32 (same reported SNR — the design's ripple dominates)
+        rtf_x3, snr_x3, _ = bench_jax(x, precision="bf16x3")
+    except Exception:
+        rtf_x3 = snr_x3 = None
+    try:
         rtf_ref = bench_torch(x)
     except Exception:
         rtf_ref = None
@@ -244,6 +250,9 @@ def main():
         "extra": {
             "platform": platform,
             "roundtrip_snr_db": round(snr, 2),
+            "roundtrip_bf16x3_rtf": round(rtf_x3, 1) if rtf_x3 else None,
+            "roundtrip_bf16x3_snr_db": (round(snr_x3, 2)
+                                        if snr_x3 else None),
             "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
             "dispatch_floor_ms": round(floor_ms, 2),
             **results,

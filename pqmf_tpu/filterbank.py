@@ -31,14 +31,16 @@ def _analysis(x, hk, hk_poly, polyphase=True, precision="highest",
               use_pallas=False, mesh=None):
     """x: [B, 1, T] -> [B, M, T/M] (conv then alias sign mask)."""
     if use_pallas:
+        from functools import partial as _partial
+
         from pqmf_tpu.kernels import polyphase_analysis
 
+        ana = _partial(polyphase_analysis, mxu_precision=precision)
         if mesh is not None:
             from pqmf_tpu.streaming import shard_band_analysis
 
-            return shard_band_analysis(mesh, polyphase_analysis, x,
-                                       hk_poly)
-        return polyphase_analysis(x, hk_poly)
+            return shard_band_analysis(mesh, ana, x, hk_poly)
+        return ana(x, hk_poly)
     if polyphase:
         y = fb.polyphase_forward(x, hk_poly, precision=precision)
     else:
@@ -52,14 +54,16 @@ def _synthesis(x, hk, hk_ipoly, polyphase=True, precision="highest",
                use_pallas=False, mesh=None):
     """x: [B, M, T'] -> [B, 1, M*T'] (alias sign mask then conv)."""
     if use_pallas:
+        from functools import partial as _partial
+
         from pqmf_tpu.kernels import polyphase_synthesis
 
+        syn = _partial(polyphase_synthesis, mxu_precision=precision)
         if mesh is not None:
             from pqmf_tpu.streaming import shard_band_synthesis
 
-            return shard_band_synthesis(mesh, polyphase_synthesis, x,
-                                        hk_ipoly)
-        return polyphase_synthesis(x, hk_ipoly)
+            return shard_band_synthesis(mesh, syn, x, hk_ipoly)
+        return syn(x, hk_ipoly)
     x = fb.reverse_half(x)
     if polyphase:
         return fb.polyphase_inverse(x, hk_ipoly, precision=precision)
@@ -80,8 +84,12 @@ class PQMF:
     n_channels : int
         Channels per signal; channels are vmapped over the mono core.
     precision : str
-        'highest' (default, float32-accurate MXU passes) or 'default'
-        (bf16 MXU, faster, ~60 dB round-trip SNR).
+        'highest' (default, full-f32 MXU contract), 'bf16x3' (3-pass
+        split-operand scheme, ~2^-16 relative error — two orders below
+        the design's own ripple floor, ~1.4x faster round trips), or
+        'default' (one bf16 pass, fastest, ~49 dB round-trip SNR).
+        Applies to the Pallas kernels' in-kernel dots and the lax
+        fallback convs alike.
     use_pallas : bool | "auto"
         Route the polyphase hot path through the fused Pallas TPU kernel
         (~1000x faster than the lax conv on v5e). "auto" (default) uses it
@@ -203,7 +211,7 @@ class PQMF:
             return self.inverse(self.forward(x))
         y = _pk.polyphase_roundtrip(
             x.reshape(B * C, 1, T), self.params["hk_poly"],
-            self.params["hk_ipoly"])
+            self.params["hk_ipoly"], mxu_precision=self.precision)
         return y.reshape(B, C, T)
 
     __call__ = forward

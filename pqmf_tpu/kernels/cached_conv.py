@@ -55,6 +55,47 @@ __all__ = ["strided_analysis_conv", "dense_synthesis_conv",
 
 _FRAMES_VMEM_BYTES = 4 << 20
 
+# MXU pass count for the in-kernel dots (measured on the 60 s fused
+# roundtrip: dots ~45 us/pass + ~0.21 ms pass-independent window/roll
+# overhead):
+# - "highest": full f32 contract — the parity default everywhere
+#   (0.48 ms roundtrip);
+# - "bf16x3": split-operand 3-pass scheme hi@hi + hi@lo + lo@hi with f32
+#   accumulate (Mosaic lowers only DEFAULT/HIGHEST contract precision,
+#   so X3 is built from single-pass dots by hand) — error ~2^-16 relative,
+#   two orders below the filter design's own ripple floor (~0.35 ms);
+# - "default": one bf16 pass — the fast-serving tier, matches the
+#   pipelines' precision="default" DFT matmuls (~0.26 ms, ~49 dB).
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _split_bf16(a):
+    """hi + lo bf16 decomposition of an f32 array (lo catches the next 8
+    mantissa bits)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _prec_dot(w, f, prec):
+    """[Q, K] @ [K, T] -> [Q, T] f32 at the named precision tier."""
+    dn = (((1,), (0,)), ((), ()))
+    if prec in ("bf16x3", "high"):
+        wh, wl = _split_bf16(w)
+        fh, fl = _split_bf16(f)
+
+        def d(a, b):
+            return jax.lax.dot_general(a, b, dn,
+                                       preferred_element_type=jnp.float32)
+
+        return d(wh, fh) + d(wh, fl) + d(wl, fh)
+    return jax.lax.dot_general(w, f, dn,
+                               preferred_element_type=jnp.float32,
+                               precision=_PRECISIONS[prec])
+
 
 def _tile(tile, L, M, T_out):
     cap = max(128, _FRAMES_VMEM_BYTES // (L * M * 4) // 128 * 128)
@@ -70,7 +111,8 @@ def _tile(tile, L, M, T_out):
 # ---------------------------------------------------------------------------
 
 
-def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt):
+def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt,
+                        prec):
     """acc over L row-blocks: y += W[:, l*S:(l+1)*S] @ xw[:, l:l+Tt].
 
     With only ~5 blocks of 128 rows each, accumulating dots beat the
@@ -83,20 +125,41 @@ def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt):
     slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
     xw = xw2[slot]
     W = xw.shape[-1]
+    dn = (((1,), (0,)), ((), ()))
+    if prec in ("bf16x3", "high"):
+        # roll in f32 (Mosaic's rotate is 32-bit only), split each rolled
+        # slice to (hi, lo) bf16; 3 single-pass dots per row block
+        wh, wl = _split_bf16(w_ref[:])
+        acc = None
+        for l in range(L):
+            sl = pltpu.roll(xw, W - l, axis=1)[:, :Tt] if l else xw[:, :Tt]
+            sh, so = _split_bf16(sl)
+            whb = wh[:, l * S:(l + 1) * S]
+            wlb = wl[:, l * S:(l + 1) * S]
+            y = (jax.lax.dot_general(whb, sh, dn,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(whb, so, dn,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(wlb, sh, dn,
+                                       preferred_element_type=jnp.float32))
+            acc = y if acc is None else acc + y
+        out_ref[:] = acc[None]
+        return
     acc = None
     for l in range(L):
         sl = pltpu.roll(xw, W - l, axis=1)[:, :Tt] if l else xw[:, :Tt]
         y = jax.lax.dot_general(
             w_ref[:, l * S:(l + 1) * S], sl,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=dn,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_PRECISIONS[prec],
         )
         acc = y if acc is None else acc + y
     out_ref[:] = acc[None]
 
 
-def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat"):
+def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
+                         mxu_precision="highest"):
     """Generic grouped conv: output[u] = w2 @ x-window(u*S, L*S).
 
     layout "flat": x [B, Traw] pre-padded row-major (col, s) — one XLA
@@ -122,7 +185,8 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat"):
         xp = jnp.swapaxes(xr[:, :need].reshape(B, need // S, S), 1, 2)
 
     out = pl.pallas_call(
-        functools.partial(_grouped_acc_kernel, S=S, L=L, Tt=Tt, nt=nt),
+        functools.partial(_grouped_acc_kernel, S=S, L=L, Tt=Tt, nt=nt,
+                          prec=mxu_precision),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -142,17 +206,12 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat"):
 
 
 def _ana_kernel(x_hbm, w_ref, out_ref, xw2, frames, sem2, *, M, Mout, L, Tt,
-                nt, mask_parity):
+                nt, mask_parity, prec):
     b = pl.program_id(0)
     i = pl.program_id(1)
     slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
     _build_frames(xw2[slot], frames, M, L, Tt)
-    y = jax.lax.dot_general(
-        w_ref[:], frames[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    y = _prec_dot(w_ref[:], frames[:], prec)
     if mask_parity is not None:
         y = y * _sign_mask(Mout, Tt, mask_parity, y.dtype)
     out_ref[:] = y[None]
@@ -182,9 +241,10 @@ def _ana_grouped_weights(w, M, G, fuse_mask, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("M", "tile", "interpret", "fuse_mask",
-                                    "out_layout"))
+                                    "out_layout", "mxu_precision"))
 def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
-                          fuse_mask=True, out_layout="bands"):
+                          fuse_mask=True, out_layout="bands",
+                          mxu_precision="highest"):
     """Valid stride-M conv of a pre-padded mono signal + optional fused
     reverse_half on the output.
 
@@ -213,7 +273,8 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
         # time-grouped path: stride G*M = 128, output channels (r, c)
         w2, S, _ = _ana_grouped_weights(w, M, G, fuse_mask, x.dtype)
         U = -(-T_out // G)
-        out = _grouped_matmul_conv(x[:, 0, :], w2, S, U, tile, interpret)
+        out = _grouped_matmul_conv(x[:, 0, :], w2, S, U, tile, interpret,
+                                   mxu_precision=mxu_precision)
         if out_layout == "grouped":
             return out
         y = out.reshape(B, G, Mb, U)
@@ -243,7 +304,8 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
 
     out = pl.pallas_call(
         functools.partial(_ana_kernel, M=M, Mout=Mb_pad, L=L, Tt=Tt, nt=nt,
-                          mask_parity=0 if fuse_mask else None),
+                          mask_parity=0 if fuse_mask else None,
+                          prec=mxu_precision),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -264,7 +326,7 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
 
 
 def _syn_kernel(x_hbm, v_ref, out_ref, xw2, frames, sem2, *, M, Mout, L, Tt,
-                nt, in_mask_parity):
+                nt, in_mask_parity, prec):
     b = pl.program_id(0)
     i = pl.program_id(1)
     slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
@@ -278,12 +340,7 @@ def _syn_kernel(x_hbm, v_ref, out_ref, xw2, frames, sem2, *, M, Mout, L, Tt,
     _build_frames(xv, frames, M, L, Tt)
     # weights-major dot -> [Mout, Tt] (the [Tt, Mout] transposed-LHS form
     # measured 2x slower; the interleave transpose moved outside)
-    y = jax.lax.dot_general(
-        v_ref[:], frames[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [Mout, Tt]
+    y = _prec_dot(v_ref[:], frames[:], prec)
     out_ref[:] = y[None]
 
 
@@ -316,9 +373,9 @@ def _syn_grouped_weights(w, G, fuse_mask, x_offset, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "interpret", "fuse_mask",
-                                    "x_offset"))
+                                    "x_offset", "mxu_precision"))
 def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
-                         x_offset=0):
+                         x_offset=0, mxu_precision="highest"):
     """Valid stride-1 M->M conv of pre-padded sub-bands with the streaming
     synthesis post-amble fused: optional reverse_half on the input
     (``x_offset`` = index of x[..., 0] in the ORIGINAL unpadded signal,
@@ -358,7 +415,8 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
         xp = jnp.transpose(xs.reshape(B, Mb, V, G), (0, 3, 1, 2))
         xp = xp.reshape(B, S, V)
         out = _grouped_matmul_conv(xp, v2, S, U, tile, interpret,
-                                   layout="cols")
+                                   layout="cols",
+                                   mxu_precision=mxu_precision)
         z = out.reshape(B, G, M, U)
         z = jnp.transpose(z, (0, 3, 1, 2)).reshape(B, U * G, M)
         return z[:, :T_out, :]  # [B, T_out, M]
@@ -384,7 +442,8 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
     out = pl.pallas_call(
         functools.partial(
             _syn_kernel, M=Mb_pad, Mout=M, L=L, Tt=Tt, nt=nt,
-            in_mask_parity=(x_offset % 2) if fuse_mask else None),
+            in_mask_parity=(x_offset % 2) if fuse_mask else None,
+            prec=mxu_precision),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -414,9 +473,10 @@ def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("M", "syn_pad", "tile", "interpret"))
+                   static_argnames=("M", "syn_pad", "tile", "interpret",
+                                    "mxu_precision"))
 def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
-                         interpret=None):
+                         interpret=None, mxu_precision="highest"):
     """Analysis -> synthesis round trip with the sub-bands kept in the
     time-grouped layout in between.
 
@@ -456,7 +516,8 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
 
     w2a, Sa, _ = _ana_grouped_weights(w_ana, M, G, False, x.dtype)
     Ua = -(-T_ana // G)
-    ga = _grouped_matmul_conv(x[:, 0, :], w2a, Sa, Ua, tile, interpret)
+    ga = _grouped_matmul_conv(x[:, 0, :], w2a, Sa, Ua, tile, interpret,
+                              mxu_precision=mxu_precision)
 
     # the last group's rows past T_ana hold edge-conv values (the
     # analysis window still overlaps real samples there); the composed
@@ -469,6 +530,7 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     ga = jnp.pad(ga, ((0, 0), (0, 0), (pl_ // G, 0)))
     T_out = pl_ + T_ana + pr_ - Ks + 1
     Us = -(-T_out // G)
-    z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret, layout="cols")
+    z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret, layout="cols",
+                             mxu_precision=mxu_precision)
     z = jnp.transpose(z.reshape(B, G, M, Us), (0, 3, 1, 2))
     return z.reshape(B, Us * G, M)[:, :T_out, :]

@@ -154,9 +154,10 @@ def _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "interpret", "fuse_mask"))
+                   static_argnames=("tile", "interpret", "fuse_mask",
+                                    "mxu_precision"))
 def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
-                       fuse_mask=True):
+                       fuse_mask=True, mxu_precision="highest"):
     """Fused polyphase analysis + reverse_half.
 
     x: [B, 1, T] (T divisible by M); hk_poly: [Mb, M, L] where M is the
@@ -178,11 +179,14 @@ def polyphase_analysis(x, hk_poly, tile=DEFAULT_TILE, interpret=None,
                      ((L // 2) * M, (L - L // 2 - 1) * M)))
     return cc.strided_analysis_conv(xq, w2, M, tile=tile,
                                     interpret=interpret,
-                                    fuse_mask=fuse_mask)
+                                    fuse_mask=fuse_mask,
+                                    mxu_precision=mxu_precision)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def polyphase_synthesis(x, hk_ipoly, tile=DEFAULT_TILE, interpret=None):
+@functools.partial(jax.jit, static_argnames=("tile", "interpret",
+                                              "mxu_precision"))
+def polyphase_synthesis(x, hk_ipoly, tile=DEFAULT_TILE, interpret=None,
+                        mxu_precision="highest"):
     """Fused reverse_half + polyphase synthesis.
 
     x: [B, Mb, T'] sub-bands; hk_ipoly: [M, Mb, L] with M the phase count
@@ -203,7 +207,8 @@ def polyphase_synthesis(x, hk_ipoly, tile=DEFAULT_TILE, interpret=None):
     xq = jnp.pad(x, ((0, 0), (0, 0), (off, L - 1 - off)))
     out = cc.dense_synthesis_conv(xq, hk_ipoly, tile=tile,
                                   interpret=interpret,
-                                  x_offset=-off)  # [B, Tp, M]
+                                  x_offset=-off,
+                                  mxu_precision=mxu_precision)  # [B, Tp, M]
     return out.reshape(B, 1, Tp * M)
 
 
@@ -216,9 +221,10 @@ def roundtrip_supported(n_band: int, syn_taps: int) -> bool:
     return cc.fused_roundtrip_supported(n_band, syn_taps // 2)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret",
+                                              "mxu_precision"))
 def polyphase_roundtrip(x, hk_poly, hk_ipoly, tile=DEFAULT_TILE,
-                        interpret=None):
+                        interpret=None, mxu_precision="highest"):
     """Analysis -> synthesis round trip fused at the grouped-layout level
     (cached_conv.fused_roundtrip_conv): the sub-bands never leave the
     kernels' (time-phase, band) layout, and the two reverse_half masks
@@ -245,5 +251,6 @@ def polyphase_roundtrip(x, hk_poly, hk_ipoly, tile=DEFAULT_TILE,
     # out_composed[t']'s window
     out = cc.fused_roundtrip_conv(xq, w2, hk_ipoly, M,
                                   (Ls // 2, Ls - Ls // 2), tile=tile,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  mxu_precision=mxu_precision)
     return out[:, 1:, :].reshape(B, 1, T)

@@ -43,6 +43,7 @@ __all__ = [
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
+    "bf16x3": jax.lax.Precision.HIGH,  # XLA's HIGH = bf16 3-pass on TPU
     "default": jax.lax.Precision.DEFAULT,
 }
 

@@ -269,8 +269,9 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
 
     framed = _frame_signal(x, n_fft, hop_length, frames) * w  # [B,frames,n_fft]
     C, S = dft_basis(n_fft, x.dtype)
-    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
-          else jax.lax.Precision.DEFAULT)
+    hp = (jax.lax.Precision.DEFAULT if precision == "default"
+          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
+    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
     # ONE matmul for both real and imaginary parts: each output column is
     # an independent dot over n, so this is bit-identical to two separate
     # products while halving MXU kernel launches
@@ -292,8 +293,9 @@ def istft_ri_parts(re, im, n_fft, hop_length, window, normalized=True,
     B, F, frames = re.shape
     w = _padded_window(window, n_fft)
     Ci, Si = idft_basis(n_fft, re.dtype)
-    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
-          else jax.lax.Precision.DEFAULT)
+    hp = (jax.lax.Precision.DEFAULT if precision == "default"
+          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
+    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
     # single [.., 2F] @ [2F, n_fft] matmul instead of two + add (the
     # dominant cost of the fused pitchshift step per the device trace)
     ri = jnp.concatenate([re, im], axis=1)  # [B, 2F, frames]

@@ -104,8 +104,9 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     trim = n_fft // 2
     one_off = (n_fft - win) // 2  # placement of the 1-frame irfft fallback
     Ci, Si = S.idft_basis(n_fft, bands.dtype)
-    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
-          else jax.lax.Precision.DEFAULT)
+    hp = (jax.lax.Precision.DEFAULT if precision == "default"
+          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
+    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
 
     def one_band(re_b, im_b, rate, fo):
         """re_b/im_b: [B, F, frames]; rate: f32; fo: i32 (frames_out)."""
@@ -528,8 +529,9 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     omega = pv.phase_advance(F_, hop, n_fft, dt)
     trim = n_fft // 2
     K_taps = W.shape[-1]
-    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
-          else jax.lax.Precision.DEFAULT)
+    hp = (jax.lax.Precision.DEFAULT if precision == "default"
+          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
+    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
 
     def one_band(re_b, im_b, rate, fo, ls, W_b, st_b):
         re_s, im_s = pv.stretch_accumulate(re_b, im_b, rate, omega, FO_max)

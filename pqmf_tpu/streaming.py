@@ -164,9 +164,11 @@ def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
             new_state = xx[..., xx.shape[-1] - (K - M):]
         if mesh is not None:
             return new_state, shard_band_analysis(
-                mesh, lambda v, w: cc.strided_analysis_conv(v, w, M),
+                mesh, lambda v, w: cc.strided_analysis_conv(
+                    v, w, M, mxu_precision=precision),
                 xx, hkf)
-        return new_state, cc.strided_analysis_conv(xx, hkf, M)
+        return new_state, cc.strided_analysis_conv(
+            xx, hkf, M, mxu_precision=precision)
     if mode == "offline":
         y = offline_conv(x, hkf, stride=M, causal=False, precision=precision)
         new_state = state
@@ -193,10 +195,12 @@ def _cached_synthesis(x, hki, state, mode="offline", precision="highest",
                 return shard_band_synthesis(
                     mesh,
                     lambda v, w: cc.dense_synthesis_conv(
-                        v, w, fuse_mask=fuse_mask, x_offset=x_offset),
+                        v, w, fuse_mask=fuse_mask, x_offset=x_offset,
+                        mxu_precision=precision),
                     xx, hki)
             return cc.dense_synthesis_conv(xx, hki, fuse_mask=fuse_mask,
-                                           x_offset=x_offset)
+                                           x_offset=x_offset,
+                                           mxu_precision=precision)
 
         K = hki.shape[-1]
         if mode == "offline":
@@ -387,7 +391,8 @@ class StreamingPQMF:
         Ka = self.hkf.shape[-1]
         al, ar = centered_padding(Ka, M)
         xx = jnp.pad(xf, ((0, 0), (0, 0), (al, ar)))
-        out = cc.fused_roundtrip_conv(xx, self.hkf, self.hki, M, (sl, sr))
+        out = cc.fused_roundtrip_conv(xx, self.hkf, self.hki, M, (sl, sr),
+                                      mxu_precision=self.precision)
         return out.reshape(B, self.n_channels, -1)
 
     # -- streaming ----------------------------------------------------------

@@ -163,3 +163,38 @@ def test_roundtrip_falls_back_off_pallas_and_on_mesh():
         np.testing.assert_allclose(
             np.asarray(sp.roundtrip(x)),
             np.asarray(sp.inverse(sp.forward(x))), atol=1e-6, rtol=0)
+
+
+def test_mxu_precision_tiers():
+    """The kernels' precision tiers: 'bf16x3' (split-operand 3-pass
+    scheme — exercised for real in interpret mode) stays within ~1e-5
+    peak-relative of 'highest' on every kernel entry point; unknown tier
+    names fail loudly."""
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, 1, 16 * 512)).astype(np.float32)
+
+    hi = StreamingPQMF(100, 16, use_pallas=True)
+    x3 = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
+    ref = np.asarray(hi.roundtrip(x))
+    got = np.asarray(x3.roundtrip(x))
+    assert np.abs(got - ref).max() <= 5e-5 * np.abs(ref).max()
+
+    a_ref = np.asarray(hi.forward(x))
+    a_got = np.asarray(x3.forward(x))
+    assert np.abs(a_got - a_ref).max() <= 5e-5 * np.abs(a_ref).max()
+    s_ref = np.asarray(hi.inverse(a_ref))
+    s_got = np.asarray(x3.inverse(a_ref))
+    assert np.abs(s_got - s_ref).max() <= 5e-5 * np.abs(s_ref).max()
+
+    # offline PQMF plumbs the same knob through the polyphase adapters
+    p_hi = PQMF(100, 16, use_pallas=True)
+    p_x3 = PQMF(100, 16, use_pallas=True, precision="bf16x3")
+    r_ref = np.asarray(p_hi.roundtrip(x))
+    r_got = np.asarray(p_x3.roundtrip(x))
+    assert np.abs(r_got - r_ref).max() <= 5e-5 * np.abs(r_ref).max()
+
+    with pytest.raises(KeyError):
+        StreamingPQMF(100, 16, use_pallas=True,
+                      precision="bogus").roundtrip(x)

@@ -76,6 +76,14 @@ def main():
                 float(jnp.abs(ppq.roundtrip(x)
                               - ppq.inverse(ppq.forward(x))).max()), 5e-6)
 
+    # bf16x3 tier (split-operand 3-pass dots): ~2^-16 relative of HIGHEST
+    x3q = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
+    r_hi = palq.roundtrip(x)
+    r_x3 = x3q.roundtrip(x)
+    ok &= check("bf16x3 roundtrip vs HIGHEST (peak-rel)",
+                float(jnp.abs(r_x3 - r_hi).max()
+                      / jnp.abs(r_hi).max()), 5e-5)
+
     # fused flagship pitchshift ON CHIP vs the torch oracle on CPU
     sys.path.insert(0, "tests")
     from test_pipelines import SHIFTS, torch_flagship_pitchshift
