@@ -50,12 +50,14 @@ def _best_seconds(call, repeats=3):
     return best
 
 
-def bench_jax(x, chain=50, precision="highest"):
+def bench_jax(x, chain=400, precision="highest"):
     """Times `chain` back-to-back roundtrips inside ONE jitted program
     (lax.fori_loop) and divides: this measures on-chip throughput. A
     single dispatched call would instead measure the host<->device
     round-trip latency floor (~25 ms through the axon tunnel), which is
-    3 orders of magnitude above the kernel time."""
+    3 orders of magnitude above the kernel time. chain=400 keeps the one
+    remaining dispatch under ~15% of the chained total (at chain=50 it
+    was ~55% — the headline was dispatch-dominated)."""
     import jax
     import jax.numpy as jnp
 

@@ -111,19 +111,56 @@ def _tile(tile, L, M, T_out):
 # ---------------------------------------------------------------------------
 
 
+def _dma_window_tm(x_hbm, b, i, Tt, xw2, sem2, nt):
+    """Double-buffered fetch of a time-major window: x_hbm [B, cols, S],
+    scratch slots [win, S] (the kernel transposes in VMEM). Dynamic
+    offsets live on the second-to-last dim, so the 128-lane alignment
+    rule is satisfied by the full minor dim."""
+    win = xw2.shape[1]
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(0, win), :], xw2.at[0], sem2.at[0]).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds((i + 1) * Tt, win), :], xw2.at[nxt],
+            sem2.at[nxt]).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * Tt, win), :], xw2.at[slot],
+        sem2.at[slot]).wait()
+    return slot
+
+
 def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt,
-                        prec):
+                        prec, tm, wave):
     """acc over L row-blocks: y += W[:, l*S:(l+1)*S] @ xw[:, l:l+Tt].
 
     With only ~5 blocks of 128 rows each, accumulating dots beat the
     explicit im2col frames scratch (which was the right call at 16 rows x
     33 blocks); the rolled slice is the only way Mosaic accepts a
     lane-offset view.
+
+    ``tm``: the HBM input is time-major [cols, S]; the window transposes
+    to [S, win] in VMEM — replacing a whole-signal XLA transpose pass
+    with a per-tile VPU transpose. ``wave``: the output tile is stored
+    transposed [Tt, Q]; since output row q = r*M + c and column u map to
+    flat sample u*S + q, the [U, Q] result IS the interleaved waveform
+    (another XLA pass gone).
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
-    xw = xw2[slot]
+    if tm:
+        slot = _dma_window_tm(x_hbm, b, i, Tt, xw2, sem2, nt)
+        xw = jnp.swapaxes(xw2[slot], 0, 1)
+    else:
+        slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
+        xw = xw2[slot]
     W = xw.shape[-1]
     dn = (((1,), (0,)), ((), ()))
     if prec in ("bf16x3", "high"):
@@ -143,30 +180,37 @@ def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt,
                  + jax.lax.dot_general(wlb, sh, dn,
                                        preferred_element_type=jnp.float32))
             acc = y if acc is None else acc + y
-        out_ref[:] = acc[None]
-        return
-    acc = None
-    for l in range(L):
-        sl = pltpu.roll(xw, W - l, axis=1)[:, :Tt] if l else xw[:, :Tt]
-        y = jax.lax.dot_general(
-            w_ref[:, l * S:(l + 1) * S], sl,
-            dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-            precision=_PRECISIONS[prec],
-        )
-        acc = y if acc is None else acc + y
-    out_ref[:] = acc[None]
+    else:
+        acc = None
+        for l in range(L):
+            sl = pltpu.roll(xw, W - l, axis=1)[:, :Tt] if l else xw[:, :Tt]
+            y = jax.lax.dot_general(
+                w_ref[:, l * S:(l + 1) * S], sl,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=_PRECISIONS[prec],
+            )
+            acc = y if acc is None else acc + y
+    out_ref[:] = (jnp.swapaxes(acc, 0, 1) if wave else acc)[None]
 
 
 def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
-                         mxu_precision="highest"):
+                         mxu_precision="highest", out_layout="rows"):
     """Generic grouped conv: output[u] = w2 @ x-window(u*S, L*S).
 
     layout "flat": x [B, Traw] pre-padded row-major (col, s) — one XLA
-    transpose builds the [B, S, cols] kernel input. layout "cols": x
-    [B, S, V] already column-major (the grouped layout itself — e.g. the
-    output of another grouped conv); columns are zero-extended to the
-    window coverage. w2: [Q, L*S] with Q % 8 == 0; returns [B, Q, U].
+    transpose builds the [B, S, cols] kernel input. layout "time": same
+    x, but the (col, s) -> (s, col) transpose happens per-window INSIDE
+    the kernel (a free reshape feeds [B, cols, S]); measured cheaper than
+    the whole-signal XLA pass. layout "cols": x [B, S, V] already
+    column-major (the grouped layout itself — e.g. the output of another
+    grouped conv); columns are zero-extended to the window coverage.
+    w2: [Q, L*S] with Q % 8 == 0.
+
+    out_layout "rows": returns [B, Q, U]. out_layout "wave": the kernel
+    stores each tile transposed and this returns [B, U, Q] — for the
+    synthesis weights' (r, c) row order, ``reshape(B, U*Q)`` is the
+    interleaved waveform with no XLA transpose pass.
     """
     Q, LS = w2.shape
     L = LS // S
@@ -174,6 +218,7 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
     nt = -(-U // Tt)
     win = Tt + -(-L // 128) * 128
     cols = (nt - 1) * Tt + win
+    tm = layout == "time"
     if layout == "cols":
         B, _, V = x.shape
         xp = (jnp.pad(x, ((0, 0), (0, 0), (0, cols - V)))
@@ -182,27 +227,42 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
         B, Traw = x.shape
         need = cols * S
         xr = jnp.pad(x, ((0, 0), (0, need - Traw))) if need > Traw else x
-        xp = jnp.swapaxes(xr[:, :need].reshape(B, need // S, S), 1, 2)
+        xp = xr[:, :need].reshape(B, need // S, S)  # free
+        if not tm:
+            xp = jnp.swapaxes(xp, 1, 2)
 
+    wave = out_layout == "wave"
+    if wave:
+        out_spec = pl.BlockSpec((1, Tt, Q), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, nt * Tt, Q), xp.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, Q, Tt), lambda b, i: (b, 0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, Q, nt * Tt), xp.dtype)
     out = pl.pallas_call(
         functools.partial(_grouped_acc_kernel, S=S, L=L, Tt=Tt, nt=nt,
-                          prec=mxu_precision),
+                          prec=mxu_precision, tm=tm, wave=wave),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((Q, LS), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q, Tt), lambda b, i: (b, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Q, nt * Tt), xp.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, S, win), xp.dtype),
+            pltpu.VMEM((2, win, S) if tm else (2, S, win), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the in-kernel window transpose ("time") / tile-store transpose
+        # ("wave") temporaries push the Mosaic stack past the default
+        # 16 MB scoped-vmem limit at tile=2048; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(interpret),
     )(xp, w2)
-    return out[:, :, :U]
+    return out[:, :U, :] if wave else out[:, :, :U]
 
 
 def _ana_kernel(x_hbm, w_ref, out_ref, xw2, frames, sem2, *, M, Mout, L, Tt,
@@ -274,6 +334,7 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
         w2, S, _ = _ana_grouped_weights(w, M, G, fuse_mask, x.dtype)
         U = -(-T_out // G)
         out = _grouped_matmul_conv(x[:, 0, :], w2, S, U, tile, interpret,
+                                   layout="time",
                                    mxu_precision=mxu_precision)
         if out_layout == "grouped":
             return out
@@ -416,10 +477,10 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
         xp = xp.reshape(B, S, V)
         out = _grouped_matmul_conv(xp, v2, S, U, tile, interpret,
                                    layout="cols",
-                                   mxu_precision=mxu_precision)
-        z = out.reshape(B, G, M, U)
-        z = jnp.transpose(z, (0, 3, 1, 2)).reshape(B, U * G, M)
-        return z[:, :T_out, :]  # [B, T_out, M]
+                                   mxu_precision=mxu_precision,
+                                   out_layout="wave")
+        # wave rows (u, (r, c)) ARE time-major samples: free reshape
+        return out.reshape(B, U * G, M)[:, :T_out, :]  # [B, T_out, M]
 
     L = K
     if L > 128:
@@ -517,6 +578,7 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     w2a, Sa, _ = _ana_grouped_weights(w_ana, M, G, False, x.dtype)
     Ua = -(-T_ana // G)
     ga = _grouped_matmul_conv(x[:, 0, :], w2a, Sa, Ua, tile, interpret,
+                              layout="time",
                               mxu_precision=mxu_precision)
 
     # the last group's rows past T_ana hold edge-conv values (the
@@ -531,6 +593,6 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     T_out = pl_ + T_ana + pr_ - Ks + 1
     Us = -(-T_out // G)
     z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret, layout="cols",
-                             mxu_precision=mxu_precision)
-    z = jnp.transpose(z.reshape(B, G, M, Us), (0, 3, 1, 2))
+                             mxu_precision=mxu_precision, out_layout="wave")
+    # wave rows (u, (r, c)) ARE time-major samples: free reshape
     return z.reshape(B, Us * G, M)[:, :T_out, :]

@@ -44,18 +44,28 @@ def dispatch_floor_ms(repeats: int = 10) -> float:
 
 
 def chained_ms(fn, x, n: int = 50, repeats: int = 3) -> float:
-    """Milliseconds per application of shape-preserving ``fn``, measured
-    as ``n`` chained applications inside one jitted program (minus the
-    dispatch floor)."""
-    @jax.jit
-    def run(v):
-        return jax.lax.fori_loop(0, n, lambda i, u: fn(u), v)
+    """Milliseconds per application of shape-preserving ``fn``.
 
-    float(run(x).sum())  # compile + sync
-    floor = dispatch_floor_ms() / 1e3
-    best = float("inf")
+    Times chains of ``n`` and ``2n`` applications (each ONE jitted
+    ``fori_loop`` program) and differences them, so the per-dispatch
+    tunnel latency and any constant program overhead cancel exactly —
+    subtracting a separately measured dispatch floor proved fragile (a
+    single tunnel stall during the floor measurement skews every row)."""
+    def make(k):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, k, lambda i, u: fn(u), v)
+        return run
+
+    run_n, run_2n = make(n), make(2 * n)
+    float(run_n(x).sum())  # compile + sync
+    float(run_2n(x).sum())
+    best_n = best_2n = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run(x).sum())
-        best = min(best, time.perf_counter() - t0)
-    return max(best - floor, 0.0) / n * 1e3
+        float(run_n(x).sum())
+        best_n = min(best_n, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run_2n(x).sum())
+        best_2n = min(best_2n, time.perf_counter() - t0)
+    return max(best_2n - best_n, 0.0) / n * 1e3
