@@ -110,25 +110,25 @@ def bench_torch(x):
     return (len(x) / SR) / best
 
 
-def _scan_rtf(make_run, n_blocks, samples_per_block, floor_s):
-    """RTF of a scan-over-blocks program: per-block time is the chained
-    total minus the measured single-dispatch floor, clamped positive."""
-    run = make_run()
-    run()  # compile + sync
-    best = _best_seconds(run, 3)
-    per_block_raw = best / n_blocks
-    if best < 2 * floor_s:
-        # below measurement resolution even after chaining: report the
-        # raw (floor-dominated, pessimistic) number rather than a clamp
-        # artifact; n_blocks should be raised instead
-        return ((samples_per_block / SR) / per_block_raw,
-                (samples_per_block / SR) / per_block_raw)
-    per_block = (best - floor_s) / n_blocks
+def _scan_rtf(run1, run2, n_blocks, samples_per_block):
+    """RTF of a scan-over-blocks program, self-calibrated: ``run1`` scans
+    n_blocks, ``run2`` scans 2*n_blocks; differencing cancels the
+    per-dispatch tunnel latency and any constant program overhead exactly
+    (subtracting a separately measured floor proved fragile — one tunnel
+    stall during the floor measurement skews every number). Returns
+    (differenced RTF, raw single-scan RTF which still carries the
+    dispatch in the divide)."""
+    run1()  # compile + sync
+    run2()
+    best1 = _best_seconds(run1, 3)
+    best2 = _best_seconds(run2, 3)
+    per_block_raw = best1 / n_blocks
+    per_block = max(best2 - best1, 1e-9) / n_blocks
     return ((samples_per_block / SR) / per_block,
             (samples_per_block / SR) / per_block_raw)
 
 
-def bench_pitchshift(floor_s, n_blocks=1024):
+def bench_pitchshift(n_blocks=1024):
     """Flagship per-subband phase-vocoder pitch shift: ms per 8192-sample
     block, measured as a lax.scan over n_blocks blocks (carried crossfade
     state), one dispatch."""
@@ -141,6 +141,7 @@ def bench_pitchshift(floor_s, n_blocks=1024):
     blocks = jnp.asarray(
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, 1, 1, 8192)).astype(np.float32))
+    blocks2 = jnp.concatenate([blocks, blocks])
     state = w.init_state()
 
     @jax.jit
@@ -148,11 +149,12 @@ def bench_pitchshift(floor_s, n_blocks=1024):
         return jax.lax.scan(
             lambda s, b: w.pitchshift_fn(s, b), state, blocks)
 
-    return _scan_rtf(lambda: (lambda: float(run(state, blocks)[1].sum())),
-                     n_blocks, 8192, floor_s)
+    return _scan_rtf(lambda: float(run(state, blocks)[1].sum()),
+                     lambda: float(run(state, blocks2)[1].sum()),
+                     n_blocks, 8192)
 
 
-def bench_ta_pitchshift(floor_s, n_blocks=1024):
+def bench_ta_pitchshift(n_blocks=1024):
     """Torchaudio-variant per-band pitch shift (fused single-program path):
     stateless, scanned over n_blocks 8192-sample blocks."""
     import jax
@@ -164,6 +166,7 @@ def bench_ta_pitchshift(floor_s, n_blocks=1024):
     blocks = jnp.asarray(
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, 1, 1, 8192)).astype(np.float32))
+    blocks2 = jnp.concatenate([blocks, blocks])
     plan = w._ta_plan(8192 // N_BAND)
     args = tuple(jnp.asarray(a) for a in plan[:6])
     FO_max, pad_left, Lbuf = plan[6:]
@@ -178,12 +181,12 @@ def bench_ta_pitchshift(floor_s, n_blocks=1024):
 
         return jax.lax.scan(step, 0, blocks)[1]
 
-    return _scan_rtf(lambda: (lambda: float(run(blocks).sum())),
-                     n_blocks, 8192, floor_s)
+    return _scan_rtf(lambda: float(run(blocks).sum()),
+                     lambda: float(run(blocks2).sum()),
+                     n_blocks, 8192)
 
 
-def bench_streams(floor_s, n_streams=16, n_blocks=256,
-                  precision="highest"):
+def bench_streams(n_streams=16, n_blocks=256, precision="highest"):
     """Multi-stream serving: aggregate realtime factor for n_streams
     concurrent pitch-shift streams, each with its own crossfade state."""
     import jax
@@ -196,6 +199,7 @@ def bench_streams(floor_s, n_streams=16, n_blocks=256,
     blocks = jnp.asarray(
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, n_streams, 8192)).astype(np.float32))
+    blocks2 = jnp.concatenate([blocks, blocks])
     states = w.init_streams(n_streams)
 
     @jax.jit
@@ -204,8 +208,9 @@ def bench_streams(floor_s, n_streams=16, n_blocks=256,
             lambda s, b: w.pitchshift_streams(s, b), states, blocks)
 
     rtf, rtf_raw = _scan_rtf(
-        lambda: (lambda: float(run(states, blocks)[1].sum())),
-        n_blocks, 8192, floor_s)
+        lambda: float(run(states, blocks)[1].sum()),
+        lambda: float(run(states, blocks2)[1].sum()),
+        n_blocks, 8192)
     return n_streams * rtf, n_streams * rtf_raw
 
 
@@ -226,16 +231,16 @@ def main():
 
     from pqmf_tpu.utils.profiling import dispatch_floor_ms
 
-    floor_ms = dispatch_floor_ms()
-    floor_s = floor_ms / 1e3
+    floor_ms = dispatch_floor_ms()  # reported for context only: the
+    # per-block numbers self-calibrate by differencing n- and 2n-scans
     results = {}
     for name, fn in (("pitchshift", bench_pitchshift),
                      ("ta_pitchshift", bench_ta_pitchshift),
                      ("serving_16stream_aggregate", bench_streams),
-                     ("serving_16stream_fast", lambda f:
-                      bench_streams(f, precision="default"))):
+                     ("serving_16stream_fast", lambda:
+                      bench_streams(precision="default"))):
         try:
-            corrected, raw = fn(floor_s)
+            corrected, raw = fn()
             results[f"{name}_rtf"] = round(corrected, 1)
             results[f"{name}_rtf_raw"] = round(raw, 1)
         except Exception as e:
