@@ -553,16 +553,19 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
             g = jnp.take(ystr, idx.reshape(-1), axis=-1,
                          mode="clip").reshape(B, Tb, K_taps)
             return jnp.einsum("btk,tk->bt", g, W_b, precision=hp)
-        # gather-free banded resample: C[j, p] = sum_k W[j, k] ystr[p + k]
-        # (K_taps shifted slices + one matmul), then z[j] = C[j, start_j]
-        # selected by an iota==start one-hot reduce. A jnp.take gather
-        # here measured 2.4 ms/block on TPU — ~100x the rest of the step.
+        # gather-free banded resample (K_taps shifted slices + one-hot
+        # select + tap reduce). A jnp.take gather here measured
+        # 2.4 ms/block on TPU — ~100x the rest of the step. Contraction
+        # order matters: selecting FIRST (E[k, j] = ystr[start_j + k] via
+        # iota==start one-hot) keeps the intermediate at [B, K, Tb]
+        # instead of the earlier C[j, p] = (W @ slices) form whose
+        # [B, Tb, P] buffer was ~30x larger (16 MB/step across bands).
         P = Lbuf - K_taps + 1
         Yk = jnp.stack([ystr[:, k:k + P] for k in range(K_taps)], axis=1)
-        C = jnp.einsum("jk,bkp->bjp", W_b, Yk, precision=hp)
         sel = (jax.lax.broadcasted_iota(jnp.int32, (Tb, P), 1)
                == st_b[:, None]).astype(dt)
-        return jnp.einsum("bjp,jp->bj", C, sel, precision=hp)
+        E = jnp.einsum("bkp,jp->bkj", Yk, sel, precision=hp)
+        return jnp.einsum("bkj,jk->bj", E, W_b, precision=hp)
 
     z = jax.vmap(one_band)(re, im, rates, frames_out, len_stretch, W, start)
     # n_steps == 0 bands pass through untouched (torchaudio early-out,
