@@ -174,7 +174,8 @@ def bench_ta_pitchshift(n_blocks=1024):
     @jax.jit
     def run(blocks):
         def step(_, b):
-            y = w._pitchshifter_impl(b, *args, FO_max=FO_max,
+            y = w._pitchshifter_impl(b, w.pqmf.hkf, w.pqmf.hki, *args,
+                                     FO_max=FO_max,
                                      pad_left=pad_left, Lbuf=Lbuf,
                                      resample_kind="onehot")
             return 0, y

@@ -82,6 +82,13 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
                 f"{jax.default_backend()!r}") from e
 
     os.makedirs(path, exist_ok=True)
+    # a re-export into the same directory without with_stablehlo must not
+    # leave a previous export's .jaxexport behind: the new manifest would
+    # not declare it, but a name-guessing loader could pick up the stale
+    # program (wrong weights/config) with no error
+    for fn in os.listdir(path):
+        if fn.endswith(".jaxexport"):
+            os.remove(os.path.join(path, fn))
     manifest = {
         "format_version": 1,
         "framework_version": __version__,
@@ -163,7 +170,8 @@ def export_stablehlo(wrapper, length: int) -> bytes:
 
         def step(x):
             return wrapper._pitchshifter_impl(
-                x, *consts, FO_max=plan[6], pad_left=plan[7], Lbuf=plan[8],
+                x, wrapper.pqmf.hkf, wrapper.pqmf.hki, *consts,
+                FO_max=plan[6], pad_left=plan[7], Lbuf=plan[8],
                 resample_kind=kind)
 
         args = (jnp.zeros((1, 1, length), jnp.float32),)
@@ -256,7 +264,13 @@ def load_stablehlo(path: str, method: str | None = None):
         if os.path.exists(mpath):
             with open(mpath) as f:
                 hlo = json.load(f).get("stablehlo", {})
-            method = next(iter(hlo), "pitchshift")
+            # the manifest is authoritative: if it declares no export, a
+            # .jaxexport on disk is stale (left by an earlier export of
+            # a different wrapper into the same directory) — do NOT
+            # guess a filename and load the wrong program
+            method = next(iter(hlo), None)
+            if method is None:
+                return None
         else:
             method = "pitchshift"
     p = os.path.join(path, f"{method}.jaxexport")

@@ -31,11 +31,9 @@ def _analysis(x, hk, hk_poly, polyphase=True, precision="highest",
               use_pallas=False, mesh=None):
     """x: [B, 1, T] -> [B, M, T/M] (conv then alias sign mask)."""
     if use_pallas:
-        from functools import partial as _partial
-
         from pqmf_tpu.kernels import polyphase_analysis
 
-        ana = _partial(polyphase_analysis, mxu_precision=precision)
+        ana = partial(polyphase_analysis, mxu_precision=precision)
         if mesh is not None:
             from pqmf_tpu.streaming import shard_band_analysis
 
@@ -54,11 +52,9 @@ def _synthesis(x, hk, hk_ipoly, polyphase=True, precision="highest",
                use_pallas=False, mesh=None):
     """x: [B, M, T'] -> [B, 1, M*T'] (alias sign mask then conv)."""
     if use_pallas:
-        from functools import partial as _partial
-
         from pqmf_tpu.kernels import polyphase_synthesis
 
-        syn = _partial(polyphase_synthesis, mxu_precision=precision)
+        syn = partial(polyphase_synthesis, mxu_precision=precision)
         if mesh is not None:
             from pqmf_tpu.streaming import shard_band_synthesis
 

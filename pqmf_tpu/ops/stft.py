@@ -42,6 +42,7 @@ __all__ = [
     "stft_ri",
     "istft_ri",
     "istft_ri_parts",
+    "einsum_precision",
 ]
 
 
@@ -246,6 +247,16 @@ def _ola(y_f: jax.Array, n_fft: int, hop: int):
         flat, mode="drop")
 
 
+def einsum_precision(precision: str):
+    """lax.Precision for the XLA-side DFT/resample einsums. Only
+    'default' drops to one bf16 pass; every other tier — including
+    'bf16x3', which only changes the Pallas conv kernels' in-kernel
+    dots — runs HIGHEST (XLA's HIGH einsums measured SLOWER than
+    HIGHEST: the multi-pass form breaks fusion)."""
+    return (jax.lax.Precision.DEFAULT if precision == "default"
+            else jax.lax.Precision.HIGHEST)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
                                    "normalized", "pad_mode", "precision"))
 def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
@@ -269,9 +280,7 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
 
     framed = _frame_signal(x, n_fft, hop_length, frames) * w  # [B,frames,n_fft]
     C, S = dft_basis(n_fft, x.dtype)
-    hp = (jax.lax.Precision.DEFAULT if precision == "default"
-          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
-    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
+    hp = einsum_precision(precision)
     # ONE matmul for both real and imaginary parts: each output column is
     # an independent dot over n, so this is bit-identical to two separate
     # products while halving MXU kernel launches
@@ -293,9 +302,7 @@ def istft_ri_parts(re, im, n_fft, hop_length, window, normalized=True,
     B, F, frames = re.shape
     w = _padded_window(window, n_fft)
     Ci, Si = idft_basis(n_fft, re.dtype)
-    hp = (jax.lax.Precision.DEFAULT if precision == "default"
-          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
-    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
+    hp = einsum_precision(precision)
     # single [.., 2F] @ [2F, n_fft] matmul instead of two + add (the
     # dominant cost of the fused pitchshift step per the device trace)
     ri = jnp.concatenate([re, im], axis=1)  # [B, 2F, frames]

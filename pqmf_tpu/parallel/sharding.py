@@ -91,6 +91,14 @@ class ShardedPitchShift:
                 # not be replaced by a fresh design-chain run
                 new_pq.set_weights(pq.params, pq.hkf, pq.hki)
                 wrapper.pqmf = new_pq
+                if hasattr(wrapper, "_pitchshifter_jit"):
+                    # a shallow copy's cached bound-method jit still
+                    # wraps the ORIGINAL wrapper's method (and so its
+                    # mesh-less pqmf config); rebind it to the view
+                    wrapper._pitchshifter_jit = jax.jit(
+                        wrapper._pitchshifter_impl,
+                        static_argnames=("FO_max", "pad_left", "Lbuf",
+                                         "resample_kind"))
         self.wrapper = wrapper
         self._x_s = NamedSharding(mesh, P("data", None, None))
         self._tail_s = NamedSharding(mesh, P("band", None))

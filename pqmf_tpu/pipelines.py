@@ -35,7 +35,12 @@ from pqmf_tpu.ops import phase_vocoder as pv
 from pqmf_tpu.ops import resample as rs
 from pqmf_tpu.ops import stft as S
 from pqmf_tpu.shifters import TorchaudioPitchShift
-from pqmf_tpu.streaming import StreamingPQMF
+from pqmf_tpu.streaming import (
+    _EMPTY,
+    StreamingPQMF,
+    _cached_analysis,
+    _cached_synthesis,
+)
 
 __all__ = [
     "PQMFWrapper",
@@ -104,9 +109,7 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     trim = n_fft // 2
     one_off = (n_fft - win) // 2  # placement of the 1-frame irfft fallback
     Ci, Si = S.idft_basis(n_fft, bands.dtype)
-    hp = (jax.lax.Precision.DEFAULT if precision == "default"
-          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
-    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
+    hp = S.einsum_precision(precision)
 
     def one_band(re_b, im_b, rate, fo):
         """re_b/im_b: [B, F, frames]; rate: f32; fo: i32 (frames_out)."""
@@ -529,9 +532,7 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     omega = pv.phase_advance(F_, hop, n_fft, dt)
     trim = n_fft // 2
     K_taps = W.shape[-1]
-    hp = (jax.lax.Precision.DEFAULT if precision == "default"
-          else jax.lax.Precision.HIGHEST)  # bf16x3 -> HIGHEST here: XLA's
-    # HIGH einsums measured SLOWER than HIGHEST (fusion breaks)
+    hp = S.einsum_precision(precision)
 
     def one_band(re_b, im_b, rate, fo, ls, W_b, st_b):
         re_s, im_s = pv.stretch_accumulate(re_b, im_b, rate, omega, FO_max)
@@ -703,14 +704,26 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
     # the pipeline switches to the linear-memory gather form
     _ONEHOT_MAX_TB = 2048
 
-    def _pitchshifter_impl(self, x, rates, fo, ls, zero, W, start, FO_max,
-                           pad_left, Lbuf, resample_kind):
-        sub = self.forward(x)  # [B, M, Tb]
+    def _pitchshifter_impl(self, x, hkf, hki, rates, fo, ls, zero, W,
+                           start, FO_max, pad_left, Lbuf, resample_kind):
+        # the filterbank weights enter as TRACED ARGUMENTS, not closure
+        # constants: a bound-method jit caches its trace, so reading
+        # self.pqmf.hkf here would silently pin the weights at first-call
+        # values and ignore a later pqmf.set_weights() (artifact restore
+        # / fine-tune), unlike the flagship path
+        pq = self.pqmf
+        _, sub = _cached_analysis(x, hkf, _EMPTY, mode="offline",
+                                  precision=pq.precision,
+                                  use_pallas=pq.use_pallas,
+                                  mesh=pq.mesh)  # [B, M, Tb]
         shifted = _fused_ta_pitchshift(
             sub, rates, fo, ls, zero, W, start, self._n_fft, self._hop,
             self._win, sub.shape[-1], FO_max, pad_left, Lbuf,
             resample_kind=resample_kind, precision=self.precision)
-        return self.inverse(shifted)
+        _, y = _cached_synthesis(shifted, hki, _EMPTY, mode="offline",
+                                 precision=pq.precision,
+                                 use_pallas=pq.use_pallas, mesh=pq.mesh)
+        return y
 
     def pitchshifter(self, x):
         """Decompose -> shift all bands -> reconstruct, as ONE jitted XLA
@@ -719,6 +732,11 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         block sizes use the one-hot resample; whole-file inputs fall back
         to the linear-memory gather form inside the same fused program."""
         x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[None]
+        if not (x.ndim == 3 and x.shape[1] == 1):
+            raise ValueError(
+                "input must be [1, buffer_size] or [batch, 1, buffer_size]")
         T = x.shape[-1]
         if T % self.n_band:
             raise ValueError(
@@ -726,7 +744,8 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         Tb = T // self.n_band
         plan = self._ta_plan(Tb)
         kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
-        return self._pitchshifter_jit(x, *plan[:6], FO_max=plan[6],
+        return self._pitchshifter_jit(x, self.pqmf.hkf, self.pqmf.hki,
+                                      *plan[:6], FO_max=plan[6],
                                       pad_left=plan[7], Lbuf=plan[8],
                                       resample_kind=kind)
 

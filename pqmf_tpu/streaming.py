@@ -289,7 +289,17 @@ class StreamingPQMF:
             use_pallas = _pk.pallas_available() and _pk.supports(n_band,
                                                                  halos)
         self.use_pallas = bool(use_pallas)
-        self.mesh = self._check_mesh(mesh) if self.use_pallas else mesh
+        # validate the mesh even when the Pallas path is off — an invalid
+        # mesh should fail loudly here, and a valid-but-unused one should
+        # at least warn (the lax branch runs unsharded)
+        self.mesh = self._check_mesh(mesh)
+        if mesh is not None and not self.use_pallas:
+            import warnings
+
+            warnings.warn(
+                "mesh provided but the Pallas band-partitioned path is "
+                "off (use_pallas resolved False); convs run unsharded",
+                stacklevel=2)
 
         # Latency bookkeeping (cached_conv's cumulative_delay analog), in
         # full-rate samples, verified empirically in tests/test_streaming.py:
@@ -320,6 +330,15 @@ class StreamingPQMF:
         self.hkf = jnp.asarray(hkf)
         self.hki = jnp.asarray(hki)
         M = self.n_band
+        if self.use_pallas:
+            # re-gate the kernel halos: a longer restored bank must
+            # degrade to the lax path like the construction-time "auto"
+            # gate, not raise inside the kernel at call time
+            from pqmf_tpu.kernels import polyphase as _pk
+
+            halos = (-(-self.hkf.shape[-1] // M), self.hki.shape[-1])
+            if not _pk.supports(M, halos):
+                self.use_pallas = False
         a_left, a_right = centered_padding(self.hkf.shape[-1], M)
         _, s_right = centered_padding(self.hki.shape[-1], 1)
         self.stream_vs_centered_delay = a_right + s_right * M

@@ -188,3 +188,21 @@ def test_ta_wrapper_artifact_roundtrip(tmp_path):
     a = np.asarray(w.forward(x))
     b = np.asarray(w2.forward(x))
     np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_reexport_without_stablehlo_removes_stale_blob(tmp_path):
+    """Re-exporting into the same directory WITHOUT with_stablehlo must
+    not leave the previous export's .jaxexport loadable: the stale
+    program has the old wrapper's weights/config (review finding: it
+    reloaded with a 0.063 output divergence and no error)."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    d = str(tmp_path / "art")
+    w1 = PQMFPitchShiftWrapper(70, 8, 1024, 44100, [0, 2, 4, 5, 7, 9, 11, 12])
+    save_artifact(w1, d, with_stablehlo=True)
+    assert load_stablehlo(d) is not None
+
+    w2 = PQMFPitchShiftWrapper(70, 8, 1024, 44100, [0] * 8)
+    save_artifact(w2, d)  # no stablehlo this time
+    assert load_stablehlo(d) is None
+    assert not [f for f in os.listdir(d) if f.endswith(".jaxexport")]

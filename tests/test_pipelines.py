@@ -469,3 +469,24 @@ def test_fast_serving_precision_mode():
         (4, 8192)).astype(np.float32) * 0.3
     sts, ys = w_lo.pitchshift_streams(sts, xs)
     assert np.asarray(ys).shape == (4, 8192)
+
+
+def test_ta_fused_path_respects_set_weights():
+    """The fused pitchshifter takes the filterbank weights as traced jit
+    ARGUMENTS; a pqmf.set_weights() (artifact restore / fine-tune) must
+    change its output just like it changes the per-band loop oracle's
+    (review finding: the weights were baked in as closure constants and
+    the fused path returned bit-identical stale output)."""
+    w = PQMFPitchShiftWrapperTA(70, 8, 1024, 44100, [0, 2, 4, 5, 7, 9, 11, 12])
+    x = jnp.asarray(
+        0.3 * np.random.default_rng(21).standard_normal(
+            (1, 1, 1024)).astype(np.float32))
+    y1 = np.asarray(w.pitchshifter(x))
+
+    pq = w.pqmf
+    pq.set_weights(pq.params, 2.0 * np.asarray(pq.hkf), np.asarray(pq.hki))
+    y2 = np.asarray(w.pitchshifter(x))
+    assert np.abs(y2 - y1).max() > 1e-3  # the new weights took effect
+    # and the fused path still matches the live per-band loop oracle
+    want = np.asarray(w.pitchshifter_loop(x))
+    assert snr_db(want, y2) > 80
