@@ -1,0 +1,86 @@
+"""Fine-tune the PQMF bank past its Kaiser design — the framework's
+"beat the reference" demo.
+
+The reference's design chain (pqmf.py:98-112) minimizes amplitude
+distortion over a one-parameter Kaiser family; treating the whole
+modulated bank as learnable (all M x P taps) with the interior
+reconstruction loss + stopband penalty (parallel.training.
+make_finetune_loss) finds banks the Kaiser family can't express:
+
+    designed (atten=100, 16 bands): 65.1 dB flute.wav round trip
+    fine-tuned (2000 steps, ~1 min on one TPU chip): 84.4 dB
+    (worst stopband: -107 dB -> -62 dB; the committed result of this
+    exact run ships as pqmf_tpu/data/hk16_atten100_finetuned.npz)
+
+Usage:
+    python examples/finetune_demo.py --cpu --steps 100      # quick look
+    python examples/finetune_demo.py --steps 2000           # full run (TPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--n_band", type=int, default=16)
+    ap.add_argument("--atten", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=3e-6)
+    ap.add_argument("--stopband_weight", type=float, default=1e-4)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="save the fine-tuned bank as an .npz")
+    ap.add_argument("--wav", default="/root/reference/audio/flute.wav")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pqmf_tpu.parallel.training import finetune_filterbank
+    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
+    from pqmf_tpu.utils.audio import read_wav
+
+    M = args.n_band
+    x, _ = read_wav(args.wav)
+    x = x[:1, : (x.shape[-1] // M) * M]
+
+    def flute_snr(sp):
+        y = np.asarray(sp.roundtrip(x[None]))
+        d = sp.centered_advance
+        ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
+        return 10 * np.log10(float((xa ** 2).sum())
+                             / float(((ya - xa) ** 2).sum()))
+
+    sp = StreamingPQMF(args.atten, M)
+    print(f"designed bank   : {flute_snr(sp):6.2f} dB round-trip SNR "
+          f"({args.wav.rsplit('/', 1)[-1]})")
+
+    print(f"fine-tuning {args.steps} steps "
+          f"(Adam {args.lr}, stopband weight {args.stopband_weight}) ...")
+    params, losses = finetune_filterbank(
+        args.atten, M, steps=args.steps, lr=args.lr,
+        stopband_weight=args.stopband_weight)
+    print(f"interior loss   : {losses[0]:.3e} -> {losses[-1]:.3e}")
+
+    sp.set_weights(params, *kernels_from_params(params))
+    print(f"fine-tuned bank : {flute_snr(sp):6.2f} dB round-trip SNR")
+
+    if args.out:
+        np.savez_compressed(args.out, hk=np.asarray(params["hk"]),
+                            h=np.asarray(params["h"]))
+        print(f"saved -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

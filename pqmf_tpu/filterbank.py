@@ -123,6 +123,21 @@ class PQMF:
         self.h = self.params["h"]
         self.hk = self.params["hk"]
 
+    def set_weights(self, params):
+        """Install filterbank weights (artifact-restored or fine-tuned —
+        e.g. ``parallel.training.load_pretrained_bank()``) in place of
+        the designed ones, re-gating the Pallas kernels' halo constraint
+        like the construction-time "auto" gate."""
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.h = self.params["h"]
+        self.hk = self.params["hk"]
+        if self.use_pallas:
+            from pqmf_tpu.kernels import polyphase as _pk
+
+            halo = self.params["hk_poly"].shape[-1]
+            if not _pk.supports(self.n_band, (halo,)):
+                self.use_pallas = False
+
     # -- shape normalization ------------------------------------------------
 
     def _to_bct(self, x, channels):

@@ -34,6 +34,7 @@ __all__ = [
     "make_odd",
     "get_qmf_bank",
     "build_filterbank",
+    "params_from_hk",
     "polyphase_forward",
     "polyphase_inverse",
     "classic_forward",
@@ -116,6 +117,26 @@ def build_filterbank(attenuation: float, n_band: int) -> dict:
 
     return {
         "h": jnp.asarray(h),
+        "hk": jnp.asarray(hk),
+        "hk_poly": jnp.asarray(hk_poly),
+        "hk_ipoly": jnp.asarray(hk_ipoly.copy()),
+    }
+
+
+def params_from_hk(hk, h=None) -> dict:
+    """Derive the params pytree from a given modulated bank ``hk``
+    [M, P] (P divisible by M) — e.g. a fine-tuned bank that is no longer
+    exactly a cosine modulation of one prototype. ``h`` (the prototype)
+    is carried through when known, else stored empty."""
+    hk = np.asarray(hk, np.float32)
+    M, P = hk.shape
+    if P % M:
+        raise ValueError(f"bank length {P} not divisible by n_band {M}")
+    hk_poly = hk.reshape(M, P // M, M).transpose(0, 2, 1)
+    hk_flip = hk[:, ::-1]
+    hk_ipoly = hk_flip.reshape(M, P // M, M).transpose(2, 0, 1)
+    return {
+        "h": jnp.asarray(np.zeros((0,), np.float32) if h is None else h),
         "hk": jnp.asarray(hk),
         "hk_poly": jnp.asarray(hk_poly),
         "hk_ipoly": jnp.asarray(hk_ipoly.copy()),

@@ -19,14 +19,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pqmf_tpu.ops import filterbank as fb
 
 __all__ = ["analysis_from_hk", "synthesis_from_hk", "reconstruction_loss",
-           "TrainState", "make_train_step", "TrainablePQMF",
-           "save_train_state", "load_train_state"]
+           "make_finetune_loss", "finetune_filterbank",
+           "load_pretrained_bank", "TrainState", "make_train_step",
+           "TrainablePQMF", "save_train_state", "load_train_state"]
 
 
 def analysis_from_hk(x: jax.Array, hk: jax.Array, precision="highest"):
@@ -73,21 +75,67 @@ jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
 
 
+def make_finetune_loss(n_band: int, n_taps: int, trim: int | None = None,
+                       stopband_weight: float = 1e-4, nfft: int = 2048):
+    """Loss for fine-tuning the bank toward better reconstruction without
+    collapsing alias attenuation — the plain round-trip MSE is the WRONG
+    objective for short batches: with T=4096 and a 512-tap bank the
+    boundary transients dominate the mean, and an optimizer chasing them
+    destroys the interior quality AND the stopband (measured: 2000 Adam
+    steps on noise took flute SNR 65 -> 56.5 dB and stopband -107 ->
+    -27 dB). This loss (a) trims ``trim`` samples (default: one filter
+    length) from each edge so only steady-state reconstruction counts,
+    and (b) penalizes per-band stopband energy (response more than one
+    band-width outside the passband, via an in-graph matmul DFT).
+
+    Measured on TPU (2000 steps, Adam 3e-6, noise batches [8, 1, 4096],
+    M=16/atten=100): interior loss 1.0e-6 -> 3.1e-8; flute.wav SNR
+    65.1 -> 80.1 dB (held out); worst stopband -107 -> -62 dB.
+    ``stopband_weight`` trades the two (1e-2 gave 68.0 dB at the same
+    -62 dB floor; 0 collapses the stopband entirely).
+    """
+    M, Pn = n_band, n_taps
+    t = trim if trim is not None else Pn
+    w = np.linspace(0, np.pi, nfft // 2 + 1)
+    n = np.arange(Pn)
+    masks = np.stack([
+        (w < k * np.pi / M - np.pi / M) | (w > (k + 1) * np.pi / M
+                                           + np.pi / M)
+        for k in range(M)])
+    Cm = jnp.asarray(np.cos(np.outer(n, w)).astype(np.float32))
+    Sm = jnp.asarray(np.sin(np.outer(n, w)).astype(np.float32))
+    masks = jnp.asarray(masks)
+
+    def loss_fn(hk, x, precision="highest"):
+        y = synthesis_from_hk(analysis_from_hk(x, hk, precision), hk,
+                              precision)
+        e = (y - x)[..., t:-t]
+        mse = jnp.mean(e * e)
+        re, im = hk @ Cm, hk @ Sm
+        sb = jnp.sum(jnp.where(masks, re * re + im * im, 0.0)) / M
+        return mse + stopband_weight * sb
+
+    return loss_fn
+
+
 def make_train_step(optimizer=None, mesh: Mesh | None = None,
-                    precision: str = "highest", remat: bool = False):
+                    precision: str = "highest", remat: bool = False,
+                    loss_fn=None):
     """Build (init_fn, step_fn). With a mesh, the batch is sharded over
     every mesh axis (full DP) and parameters are replicated; XLA inserts
     the gradient all-reduce over ICI. ``remat=True`` rematerializes the
     analysis pass in the backward computation (jax.checkpoint), trading
     one extra forward for not keeping the sub-band activations — useful
-    for long audio batches near the HBM limit."""
+    for long audio batches near the HBM limit. ``loss_fn(hk, x,
+    precision)`` defaults to the plain :func:`reconstruction_loss`; pass
+    :func:`make_finetune_loss`'s result for quality fine-tuning."""
     if optimizer is None:
         optimizer = optax.adam(1e-4)
 
-    loss_fn = reconstruction_loss
+    if loss_fn is None:
+        loss_fn = reconstruction_loss
     if remat:
-        loss_fn = jax.checkpoint(reconstruction_loss,
-                                 static_argnums=(2,))
+        loss_fn = jax.checkpoint(loss_fn, static_argnums=(2,))
 
     def init_fn(hk):
         return TrainState(hk, optimizer.init(hk))
@@ -121,6 +169,61 @@ def make_train_step(optimizer=None, mesh: Mesh | None = None,
     else:
         step = jax.jit(step)
     return init_fn, step
+
+
+def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
+                        batch: int = 8, length: int = 4096, lr: float = 3e-6,
+                        stopband_weight: float = 1e-4, seed: int = 0,
+                        mesh: Mesh | None = None,
+                        precision: str = "highest"):
+    """Fine-tune the designed bank's reconstruction on white noise (one
+    jitted scan over ``steps`` Adam steps) and return ``(params,
+    losses)`` — a params pytree installable via
+    ``fb.params_from_hk``-derived tensors /
+    ``StreamingPQMF.set_weights(params, *kernels_from_params(params))``.
+
+    White noise is the right training signal for a linear system: the
+    interior round-trip MSE equals the Frobenius norm of (roundtrip -
+    identity), so the result generalizes to any program material.
+    Defaults reproduce the measured M=16/atten=100 result: flute.wav
+    (held out) SNR 65.1 -> 80.1 dB at a -62 dB worst stopband
+    (designed: -107 dB; see :func:`make_finetune_loss` for the
+    trade-off knob).
+    """
+    base = fb.build_filterbank(attenuation, n_band)
+    hk0 = jnp.asarray(base["hk"])
+    loss_fn = make_finetune_loss(n_band, hk0.shape[-1],
+                                 stopband_weight=stopband_weight)
+    init_fn, step_fn = make_train_step(optax.adam(lr), mesh=mesh,
+                                       precision=precision,
+                                       loss_fn=loss_fn)
+    state = init_fn(hk0)
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(rng.standard_normal(
+        (steps, batch, 1, length)).astype(np.float32))
+
+    @jax.jit
+    def run(state, xs):
+        return jax.lax.scan(lambda s, b: step_fn(s, b), state, xs)
+
+    state, losses = run(state, xs)
+    return (fb.params_from_hk(jax.device_get(state.hk), h=base["h"]),
+            jax.device_get(losses))
+
+
+def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
+    """Load a committed fine-tuned bank (pqmf_tpu/data/<name>.npz) as a
+    params pytree. ``hk16_atten100_finetuned`` is the
+    :func:`finetune_filterbank` default run's result: 80.1 dB flute.wav
+    round-trip SNR (designed Kaiser bank: 65.1 dB measured the same way,
+    54.8 dB through the offline module path) at -62 dB worst stopband."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "data", f"{name}.npz")
+    with np.load(path) as z:
+        return fb.params_from_hk(z["hk"],
+                                 h=z["h"] if "h" in z.files else None)
 
 
 class TrainablePQMF:

@@ -39,9 +39,20 @@ __all__ = [
     "centered_padding",
     "streaming_conv",
     "conv_state_init",
+    "kernels_from_params",
     "StreamingPQMF",
     "scan_blocks",
 ]
+
+
+def kernels_from_params(params) -> tuple:
+    """Derive the streaming conv kernels from a filterbank params pytree
+    (designed or fine-tuned): analysis ``make_odd(hk)[:, None, :]``
+    ([M, 1, P(+1)]) and synthesis ``make_odd(hk_ipoly)`` ([M, M, L(+1)])
+    — the CachedPQMF geometry, reference pqmf.py:316-333."""
+    hkf = fb.make_odd(np.asarray(params["hk"]))[:, None, :]
+    hki = fb.make_odd(np.asarray(params["hk_ipoly"]))
+    return jnp.asarray(hkf), jnp.asarray(hki)
 
 
 def centered_padding(kernel: int, stride: int = 1) -> tuple[int, int]:
@@ -271,18 +282,10 @@ class StreamingPQMF:
 
         params = fb.build_filterbank(attenuation, n_band)
         self.params = params
-        hk = np.asarray(params["hk"])
         M = n_band
+        self.hkf, self.hki = kernels_from_params(params)
 
-        # analysis kernel: make_odd(hk).unsqueeze(1) -> [M, 1, P(+1)]
-        hkf = fb.make_odd(hk)[:, None, :]
-        # synthesis kernel: make_odd(flip + polyphase rearrange) -> [M, M, L(+1)]
-        hki = fb.make_odd(np.asarray(params["hk_ipoly"]))
-
-        self.hkf = jnp.asarray(hkf)
-        self.hki = jnp.asarray(hki)
-
-        halos = (-(-hkf.shape[-1] // M), hki.shape[-1])
+        halos = (-(-self.hkf.shape[-1] // M), self.hki.shape[-1])
         if use_pallas == "auto":
             from pqmf_tpu.kernels import polyphase as _pk
 

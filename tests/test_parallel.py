@@ -233,3 +233,79 @@ def test_bad_mesh_raises_clear_error_everywhere():
     odd_shards = make_mesh(8, n_band=8)  # band axis 8 -> 1 band/device
     with pytest.raises(ValueError, match="even shards"):
         StreamingPQMF(70, 8, use_pallas=True, mesh=odd_shards)
+
+
+def test_params_from_hk_matches_design_chain():
+    """params_from_hk re-derives exactly the tensors build_filterbank
+    produced for the same bank (the fine-tune install path depends on
+    this identity)."""
+    from pqmf_tpu.ops import filterbank as fb
+
+    base = fb.build_filterbank(70, 8)
+    re = fb.params_from_hk(np.asarray(base["hk"]), h=base["h"])
+    for k in ("hk", "hk_poly", "hk_ipoly", "h"):
+        np.testing.assert_array_equal(np.asarray(re[k]),
+                                      np.asarray(base[k]))
+
+
+def test_finetune_improves_interior_reconstruction():
+    """A short finetune_filterbank run (interior loss + stopband penalty,
+    see make_finetune_loss for why the plain MSE is the wrong objective)
+    reduces the loss and improves held-out interior reconstruction
+    through the REAL module path, without the stopband collapse the
+    plain-MSE objective produced."""
+    from pqmf_tpu.ops import filterbank as fb
+    from pqmf_tpu.parallel.training import finetune_filterbank
+    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
+
+    params, losses = finetune_filterbank(70, 8, steps=60, batch=4,
+                                         length=1024, lr=3e-5)
+    assert losses[-1] < losses[0]
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 1, 8 * 1024)).astype(np.float32)
+    P = np.asarray(params["hk"]).shape[-1]
+
+    def interior_mse(sp):
+        y = np.asarray(sp.roundtrip(x))
+        return float(np.mean((y - x)[..., P:-P] ** 2))
+
+    sp0 = StreamingPQMF(70, 8)
+    sp1 = StreamingPQMF(70, 8)
+    sp1.set_weights(params, *kernels_from_params(params))
+    assert interior_mse(sp1) < interior_mse(sp0)
+
+    # stopband sanity: worst band response 1.5 band-widths out stays
+    # strongly attenuated (the plain-MSE objective pushed it to ~-27 dB)
+    hk1 = np.asarray(params["hk"])
+    H = np.abs(np.fft.rfft(hk1, 8192, axis=-1))
+    w = np.linspace(0, np.pi, H.shape[-1])
+    M = 8
+    worst = 0.0
+    for k in range(M):
+        sb = ((w < k * np.pi / M - np.pi / M)
+              | (w > (k + 1) * np.pi / M + np.pi / M))
+        worst = max(worst, H[k][sb].max() / H[k].max())
+    assert 20 * np.log10(worst) < -40
+
+
+def test_pretrained_bank_beats_designed_reconstruction():
+    """The committed fine-tuned 16-band bank (data/
+    hk16_atten100_finetuned.npz) reconstructs flute.wav far above the
+    designed Kaiser bank through the real streaming path: >= 80 dB vs
+    ~65 dB (this build's measured headroom over the reference design)."""
+    from pqmf_tpu.parallel.training import load_pretrained_bank
+    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
+    from pqmf_tpu.utils.audio import read_wav
+
+    x, _ = read_wav("/root/reference/audio/flute.wav")
+    x = x[:1, : (x.shape[-1] // 16) * 16]
+    params = load_pretrained_bank()
+    sp = StreamingPQMF(100, 16)
+    sp.set_weights(params, *kernels_from_params(params))
+    y = np.asarray(sp.roundtrip(x[None]))
+    d = sp.centered_advance
+    ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
+    snr = 10 * np.log10(float((xa ** 2).sum())
+                        / float(((ya - xa) ** 2).sum()))
+    assert snr > 80.0
