@@ -76,6 +76,25 @@ def main():
                 float(jnp.abs(ppq.roundtrip(x)
                               - ppq.inverse(ppq.forward(x))).max()), 5e-6)
 
+    # the committed fine-tuned bank beats the designed reconstruction
+    # natively on the chip (README "beating the design")
+    from pqmf_tpu.parallel.training import load_pretrained_bank
+    from pqmf_tpu.streaming import kernels_from_params
+    from pqmf_tpu.utils.audio import read_wav
+
+    xw, _ = read_wav("/root/reference/audio/flute.wav")
+    xw = xw[:1, : (xw.shape[-1] // 16) * 16]
+    ftq = StreamingPQMF(100, 16, use_pallas=True)
+    p_ft = load_pretrained_bank()
+    ftq.set_weights(p_ft, *kernels_from_params(p_ft))
+    yf = np.asarray(ftq.roundtrip(xw[None]))
+    d = ftq.centered_advance
+    ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
+    ft_snr = 10 * np.log10(float((xa ** 2).sum())
+                           / float(((ya - xa) ** 2).sum()))
+    ok &= check(f"fine-tuned bank flute SNR {ft_snr:.1f} dB (need > 80)",
+                80.0 - ft_snr, 0.0)
+
     # bf16x3 tier (split-operand 3-pass dots): ~2^-16 relative of HIGHEST
     x3q = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
     r_hi = palq.roundtrip(x)
