@@ -490,3 +490,19 @@ def test_ta_fused_path_respects_set_weights():
     # and the fused path still matches the live per-band loop oracle
     want = np.asarray(w.pitchshifter_loop(x))
     assert snr_db(want, y2) > 80
+
+
+def test_flagship_fused_path_respects_set_weights():
+    """Flagship mirror of the TA regression: pitchshift_fn must see a
+    pqmf.set_weights() bank (its weights already ride as traced args
+    through StreamingPQMF's jitted conv helpers — pin that property)."""
+    w = PQMFPitchShiftWrapper(70, 8, 1024, 44100, [0, 2, 4, 5, 7, 9, 11, 12])
+    x = jnp.asarray(
+        0.3 * np.random.default_rng(22).standard_normal(
+            (1, 1, 1024)).astype(np.float32))
+    s0 = w.init_state()
+    _, y1 = w.pitchshift_fn(s0, x)
+    pq = w.pqmf
+    pq.set_weights(pq.params, 2.0 * np.asarray(pq.hkf), np.asarray(pq.hki))
+    _, y2 = w.pitchshift_fn(s0, x)
+    assert np.abs(np.asarray(y2) - np.asarray(y1)).max() > 1e-3
