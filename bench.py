@@ -226,6 +226,25 @@ def main():
     except Exception:
         rtf_x3 = snr_x3 = None
     try:
+        # the committed fine-tuned bank's quality on the same signal and
+        # kernels (README "beating the design"; speed is identical — only
+        # the weights change)
+        import jax.numpy as jnp
+
+        from pqmf_tpu.parallel.training import load_pretrained_bank
+        from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
+
+        p_ft = load_pretrained_bank()
+        sp_ft = StreamingPQMF(ATTEN, N_BAND)
+        sp_ft.set_weights(p_ft, *kernels_from_params(p_ft))
+        y_ft = np.asarray(sp_ft.roundtrip(jnp.asarray(x)[None, None, :]))
+        d = sp_ft.centered_advance
+        ya, xa = y_ft[0, 0][d:], x[: len(x) - d]
+        snr_ft = 10 * np.log10(float(np.sum(xa ** 2))
+                               / float(np.sum((ya - xa) ** 2)))
+    except Exception:
+        snr_ft = None
+    try:
         rtf_ref = bench_torch(x)
     except Exception:
         rtf_ref = None
@@ -261,6 +280,8 @@ def main():
             "roundtrip_bf16x3_rtf": round(rtf_x3, 1) if rtf_x3 else None,
             "roundtrip_bf16x3_snr_db": (round(snr_x3, 2)
                                         if snr_x3 else None),
+            "finetuned_bank_snr_db": (round(snr_ft, 2)
+                                      if snr_ft else None),
             "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
             "dispatch_floor_ms": round(floor_ms, 2),
             **results,
