@@ -506,3 +506,24 @@ def test_flagship_fused_path_respects_set_weights():
     pq.set_weights(pq.params, 2.0 * np.asarray(pq.hkf), np.asarray(pq.hki))
     _, y2 = w.pitchshift_fn(s0, x)
     assert np.abs(np.asarray(y2) - np.asarray(y1)).max() > 1e-3
+
+
+def test_flagship_pipeline_composes_with_pretrained_bank():
+    """The committed fine-tuned bank installs on the flagship pipeline's
+    filterbank and the fused pitchshift step runs finite with a changed
+    (non-stale) output — quality extension and serving path compose."""
+    from pqmf_tpu.parallel.training import load_pretrained_bank
+    from pqmf_tpu.streaming import kernels_from_params
+
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100)
+    x = jnp.asarray(
+        0.2 * np.random.default_rng(23).standard_normal(
+            (1, 1, 8192)).astype(np.float32))
+    s0 = w.init_state()
+    _, y0 = w.pitchshift_fn(s0, x)
+    params = load_pretrained_bank()
+    w.pqmf.set_weights(params, *kernels_from_params(params))
+    _, y1 = w.pitchshift_fn(s0, x)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    assert np.isfinite(y1).all()
+    assert np.abs(y1 - y0).max() > 1e-4
