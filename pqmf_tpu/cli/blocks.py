@@ -153,8 +153,10 @@ def main(argv=None):
         pitch_stream = (out_accum / (norm_accum + eps))[:, : total_len - pad]
         recon_stream = (recon_accum / (norm_accum + eps))[:, : total_len - pad]
 
-    # whole-file pass (reference bug §2.5-2 fixed: call the real method)
+    # whole-file pass (reference bug §2.5-2 fixed: call the real method);
+    # lift the real-time buffer limit for this offline comparison pass
     wrapper.reset()
+    wrapper.max_buffer_size = None
     T_full = (wav.shape[-1] // args.n_band) * args.n_band
     full_out = np.asarray(
         wrapper.pitchshift(wav[:, :T_full]))[:, : wav.shape[-1] - pad]

@@ -45,6 +45,10 @@ def main(argv=None):
 
     loaded, manifest = load_artifact(args.out_dir)
     print(f"reloaded: methods={loaded.get_methods()}")
+    # offline whole-file pass (the reference main feeds the whole padded
+    # wav through the wrapper too, PQMFWrapper.py:112-131); the declared
+    # max_buffer_size applies to real-time host blocks
+    loaded.max_buffer_size = None
 
     wav, sr = read_wav(args.input)
     if wav.shape[0] > 1:

@@ -53,6 +53,10 @@ def main(argv=None):
 
     loaded, manifest = load_artifact(args.out_dir)
     print(f"reloaded: methods={loaded.get_methods()}")
+    # offline whole-file smoke pass, like the reference main feeding the
+    # whole padded flute.wav (1-PitchShifterWrapper.py:346-367); the
+    # declared max_buffer_size applies to real-time host blocks
+    loaded.max_buffer_size = None
 
     wav, sr = read_wav(args.input)
     if wav.shape[0] > 1:

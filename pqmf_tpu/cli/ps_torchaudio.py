@@ -66,8 +66,11 @@ def main(argv=None):
     wav = np.pad(wav, ((0, 0), (0, pad)))
     print(f"loaded {args.input}: shape={wav.shape}, sr={sr}, pad={pad}")
 
+    # max_buffer_size=None: this harness feeds the whole padded file in
+    # one call, like the reference main (PQMFPsWrapper.py:177); the
+    # declared limit applies to real-time host blocks
     w = PQMFPitchShiftWrapperTA(args.attenuation, args.n_band, args.buffer,
-                                sr, shifts)
+                                sr, shifts, max_buffer_size=None)
     x = wav[None]
     sub = w.forward(x)
     recon = np.asarray(w.inverse(sub))

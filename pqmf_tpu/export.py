@@ -85,9 +85,12 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
     # a re-export into the same directory without with_stablehlo must not
     # leave a previous export's .jaxexport behind: the new manifest would
     # not declare it, but a name-guessing loader could pick up the stale
-    # program (wrong weights/config) with no error
+    # program (wrong weights/config) with no error. Only THIS framework's
+    # export names are cleaned — a wrong target path containing someone
+    # else's .jaxexport files must not have them destroyed (advisor r2)
     for fn in os.listdir(path):
-        if fn.endswith(".jaxexport"):
+        stem, ext = os.path.splitext(fn)
+        if ext == ".jaxexport" and stem in _AOT_METHOD.values():
             os.remove(os.path.join(path, fn))
     manifest = {
         "format_version": 1,

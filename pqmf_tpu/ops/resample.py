@@ -29,7 +29,6 @@ import numpy as np
 __all__ = [
     "interpolate_linear",
     "interpolate_linear_dynamic",
-    "interpolate_linear_static",
     "sinc_resample_kernel",
     "sinc_resample",
     "banded_resample_plan",
@@ -83,45 +82,6 @@ def interpolate_linear_dynamic(x: jax.Array, src_len: jax.Array, size: int):
           + (p == i1[:, None]).astype(x.dtype) * a[:, None])
     return jnp.einsum("...p,jp->...j", x, Wm,
                       precision=jax.lax.Precision.HIGHEST)
-
-
-@partial(jax.jit, static_argnames=("src_len", "size", "max_phases"))
-def interpolate_linear_static(x: jax.Array, src_len: int, size: int,
-                              max_phases: int = 16):
-    """:func:`interpolate_linear_dynamic` with a STATIC effective source
-    length, gather-free when the rate is a small rational.
-
-    When ``src_len / size`` reduces to ``s_int / q`` with ``q <=
-    max_phases`` (always true for the pitch-shift pipeline, where
-    ``src_len = (frames_out-1)*hop + n_fft`` is a multiple of ``hop`` and
-    ``size`` is a power of two: q <= n_fft/hop), the resample decomposes
-    into q phases of (strided slice, strided slice, lerp) — no gather,
-    which TPUs execute far faster. Requires ``src_len >= size`` (rate >=
-    1, so source coordinates never clamp; holds for every stretch the
-    reference produces since frames_out >= 1). Falls back to a
-    constant-index gather otherwise.
-    """
-    T = x.shape[-1]
-    lead = x.shape[:-1]
-    g = math.gcd(size, src_len)
-    q, s_int = size // g, src_len // g
-    if src_len >= size and q <= max_phases:
-        K = size // q  # outputs per phase (== g)
-        scale = src_len / size
-        # taps can reach index src_len (weight 0 in the masked region) and
-        # the slice grid needs one spare column
-        xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, max(0, src_len + 2 - T))])
-        cols = []
-        for p in range(q):
-            src = (p + 0.5) * scale - 0.5
-            i0 = int(math.floor(src))
-            a = src - i0
-            t0 = xp[..., i0: i0 + K * s_int: s_int]
-            t1 = xp[..., i0 + 1: i0 + 1 + K * s_int: s_int]
-            cols.append((1.0 - a) * t0 + a * t1)
-        out = jnp.stack(cols, axis=-1)  # [..., K, q]; j = k*q + p
-        return out.reshape(*lead, K * q)
-    return interpolate_linear(x[..., :src_len], size)
 
 
 def sinc_resample_kernel(orig_freq: int, new_freq: int,

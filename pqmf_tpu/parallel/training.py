@@ -107,6 +107,14 @@ def make_finetune_loss(n_band: int, n_taps: int, trim: int | None = None,
     masks = jnp.asarray(masks)
 
     def loss_fn(hk, x, precision="highest"):
+        if x.shape[-1] <= 2 * t:
+            # the interior slice below would be EMPTY and jnp.mean would
+            # silently train on NaN losses (advisor r2); shapes are static
+            # under jit so this raises at trace time
+            raise ValueError(
+                f"batch length {x.shape[-1]} must exceed 2*trim={2 * t} "
+                f"for the interior loss (trim defaults to n_taps="
+                f"{n_taps}); use longer batches or pass a smaller trim")
         y = synthesis_from_hk(analysis_from_hk(x, hk, precision), hk,
                               precision)
         e = (y - x)[..., t:-t]
@@ -192,6 +200,11 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
     """
     base = fb.build_filterbank(attenuation, n_band)
     hk0 = jnp.asarray(base["hk"])
+    if length <= 2 * hk0.shape[-1]:
+        raise ValueError(
+            f"length={length} must exceed 2*n_taps={2 * hk0.shape[-1]} "
+            f"(the interior-loss trim) for this bank; the interior slice "
+            f"would be empty and training would silently produce NaNs")
     loss_fn = make_finetune_loss(n_band, hk0.shape[-1],
                                  stopband_weight=stopband_weight)
     init_fn, step_fn = make_train_step(optax.adam(lr), mesh=mesh,

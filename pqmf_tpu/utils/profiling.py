@@ -68,4 +68,10 @@ def chained_ms(fn, x, n: int = 50, repeats: int = 3) -> float:
         t0 = time.perf_counter()
         float(run_2n(x).sum())
         best_2n = min(best_2n, time.perf_counter() - t0)
-    return max(best_2n - best_n, 0.0) / n * 1e3
+    if best_2n <= best_n:
+        # the 2n chain measured no slower than the n chain: the window was
+        # too noisy (documented co-tenancy swings) for a valid difference.
+        # Return NaN so an invalid measurement is VISIBLE in roofline/A-B
+        # tables instead of reading as infinitely fast (advisor r2).
+        return float("nan")
+    return (best_2n - best_n) / n * 1e3

@@ -33,6 +33,8 @@ def test_pqmf_rejects_indivisible_length():
 
 
 def test_profiling_helpers():
+    import math
+
     import jax.numpy as jnp
 
     from pqmf_tpu.utils.profiling import chained_ms, dispatch_floor_ms
@@ -41,7 +43,80 @@ def test_profiling_helpers():
     assert floor >= 0.0
     ms = chained_ms(lambda v: v * 1.0001, jnp.ones((8, 128)), n=10,
                     repeats=1)
-    assert ms >= 0.0
+    # NaN marks an invalid (too-noisy) window — visible, not "0 ms"
+    assert math.isnan(ms) or ms >= 0.0
+
+
+def test_max_buffer_size_is_enforced():
+    """The declared host-buffer limit is real (VERDICT r2 weak-5): block
+    longer than max_buffer_size -> ValueError in all three wrappers;
+    max_buffer_size=None opts into offline whole-file processing."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    big = np.zeros((1, 1, 32768), np.float32)
+    w = PQMFWrapper(70, 8, m_buffer_size=256)
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        w.forward(big)
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        w.inverse(np.zeros((1, 8, 32768 // 8), np.float32))
+
+    wf = PQMFPitchShiftWrapper(70, 8, 256)
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        wf.pitchshift_fn(wf.init_state(), big)
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        wf.forward_fn(big)
+
+    wt = PQMFPitchShiftWrapperTA(70, 8, 256)
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        wt.pitchshifter(big)
+
+    # explicit opt-out restores whole-file use
+    w_open = PQMFWrapper(70, 8, m_buffer_size=256, max_buffer_size=None)
+    assert np.asarray(w_open.forward(big)).shape == (1, 8, 32768 // 8)
+
+
+def test_length_must_divide_into_bands():
+    """T % n_band != 0 -> ValueError at the wrapper boundary (previously
+    only the offline PQMF module checked)."""
+    w = PQMFWrapper(70, 8, m_buffer_size=256)
+    with pytest.raises(ValueError, match="multiple of n_band"):
+        w.forward(np.zeros((1, 1, 100), np.float32))
+    wf = PQMFPitchShiftWrapper(70, 8, 256)
+    with pytest.raises(ValueError, match="multiple of n_band"):
+        wf.decompose(np.zeros((1, 1, 100), np.float32))
+
+
+def test_finetune_rejects_empty_interior():
+    """length <= 2*trim would make the interior loss slice empty and train
+    on NaNs (advisor r2) -> clear ValueError instead."""
+    import jax.numpy as jnp
+
+    from pqmf_tpu.ops import filterbank as fb
+    from pqmf_tpu.parallel.training import (finetune_filterbank,
+                                            make_finetune_loss)
+
+    with pytest.raises(ValueError, match="interior"):
+        finetune_filterbank(100, 16, steps=1, batch=1, length=1024)
+
+    params = fb.build_filterbank(70, 8)
+    n_taps = np.asarray(params["hk"]).shape[-1]
+    loss = make_finetune_loss(8, n_taps)
+    with pytest.raises(ValueError, match="2\\*trim"):
+        loss(jnp.asarray(params["hk"]),
+             jnp.zeros((1, 1, 2 * n_taps), jnp.float32))
+
+
+def test_ta_single_band_is_passthrough_plus_shift():
+    """n_band=1: the filterbank is an identity passthrough (reference
+    pqmf.py:250-251), so the fused pitchshifter must NOT run the 1-band
+    conv (advisor r2) — with shift 0 it is the identity."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    w = PQMFPitchShiftWrapperTA(70, 1, 512, shifts_in_semitones=[0])
+    x = np.random.default_rng(0).standard_normal(
+        (1, 1, 512)).astype(np.float32)
+    y = np.asarray(w.pitchshifter(x))
+    np.testing.assert_allclose(y, x, atol=1e-6)
 
 
 def test_profiler_trace_writes(tmp_path):

@@ -44,7 +44,9 @@ def test_roundtrip_snr_floor_on_bundled_fixtures(name, min_snr):
     pad = (-x.shape[-1]) % buffer
     x = np.pad(x, ((0, 0), (0, pad)))
 
-    w = PQMFWrapper(100, 16, m_buffer_size=buffer)
+    # max_buffer_size=None: offline whole-file pass, like the reference
+    # export main (PQMFWrapper.py:112-131)
+    w = PQMFWrapper(100, 16, m_buffer_size=buffer, max_buffer_size=None)
     y, _ = w.process(x[None])
     y = np.asarray(y)[0]
     snr, lag = best_aligned_snr(x[0], y[0], max_lag=64)
