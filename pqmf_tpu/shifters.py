@@ -221,7 +221,12 @@ class TorchaudioPitchShift:
         frames = S.frame_count(T, self.n_fft, self.hop_length)
         frames_out = int(math.ceil(frames / self.rate))
         len_stretch = int(round(T / self.rate))
-        orig = int(round(self.sample_rate / self.rate))
+        # torchaudio's exact (truncating) rounding of the stretched sample
+        # rate: `resample(stretch, int(sample_rate / rate), sample_rate)`.
+        # round() here measured 15-18 dB vs the independent torch oracle
+        # whenever the two roundings differ (tests/ta_oracle.py); int()
+        # holds >90 dB
+        orig = int(self.sample_rate / self.rate)
         return frames, frames_out, len_stretch, orig
 
     def __call__(self, x):
