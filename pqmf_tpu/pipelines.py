@@ -58,6 +58,25 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _check_buffer(T: int, n_band: int, max_buffer_size, what: str = "input"):
+    """Input-length guard shared by the three wrappers: block length must
+    divide into bands, and must respect the declared host-buffer limit
+    (the reference declares ``max_buffer_size`` for Pure Data's buffer
+    negotiation, PQMFWrapper.py:34-41, but never enforces it; here the
+    declared limit is real). Offline whole-file processing — which the
+    reference's own export mains do despite the declared limit — is
+    opted into explicitly with ``max_buffer_size=None``."""
+    if T % n_band:
+        raise ValueError(
+            f"{what} length {T} must be a multiple of n_band={n_band}")
+    if max_buffer_size is not None and T > max_buffer_size:
+        raise ValueError(
+            f"{what} length {T} exceeds max_buffer_size={max_buffer_size} "
+            f"(the declared host buffer limit); construct the wrapper "
+            f"with max_buffer_size=None (or larger) for offline "
+            f"whole-file processing")
+
+
 def derive_stft_geometry(m_buffer_size: int, n_band: int):
     """The reference's buffer-size-derived per-band STFT geometry
     (1-PitchShifterWrapper.py:137-151): returns (win, hop, n_fft,
@@ -96,14 +115,20 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     window = S.hann_window(win, bands.dtype)
 
     # --- batched STFT of all bands (same geometry) ---
-    x = bands.reshape(B * M, Tb)
+    # band-major [M*B, Tb] (not [B*M]): under a (data, band) mesh the band
+    # axis is sharded, and GSPMD can only shard a merged dimension when
+    # the sharded factor is the MAJOR one — the [B*M] order forced an
+    # all-gather of all bands before the STFT middle (seen in compiled
+    # HLO), throwing the band parallelism away between the two shard_map
+    # convs. Same math, element-identical results.
+    x = jnp.swapaxes(bands, 0, 1).reshape(M * B, Tb)
     if Tb < n_fft:  # reference pads short sub-bands right to n_fft
         x = jnp.pad(x, ((0, 0), (0, n_fft - Tb)))
     re, im = S.stft_ri(x, n_fft, hop, window, center=True, normalized=True,
                        pad_mode="constant", precision=precision)
     F_, frames = re.shape[1], re.shape[2]
-    re = re.reshape(B, M, F_, frames).swapaxes(0, 1)  # [M, B, F, frames]
-    im = im.reshape(B, M, F_, frames).swapaxes(0, 1)
+    re = re.reshape(M, B, F_, frames)  # [M, B, F, frames]
+    im = im.reshape(M, B, F_, frames)
 
     omega = pv.phase_advance(F_, hop, n_fft, bands.dtype)
     trim = n_fft // 2
@@ -226,7 +251,8 @@ class PQMFWrapper(_RegistryMixin):
 
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 512, precision: str = "highest",
-                 use_pallas="auto", mesh=None):
+                 use_pallas="auto", mesh=None,
+                 max_buffer_size: int | None = 16384):
         self.n_band = n_band
         self.attenuation = attenuation
         self.pqmf = StreamingPQMF(attenuation, n_band, precision=precision,
@@ -247,7 +273,7 @@ class PQMFWrapper(_RegistryMixin):
         self.process_in_ch = 1
         self.process_out_ch = 2
         self.m_buffer_size = m_buffer_size
-        self.max_buffer_size = 16384
+        self.max_buffer_size = max_buffer_size
 
     def forward(self, x):
         x = jnp.asarray(x)
@@ -256,6 +282,7 @@ class PQMFWrapper(_RegistryMixin):
         if not (x.ndim == 3 and x.shape[1] == 1):
             raise ValueError(
                 "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        _check_buffer(x.shape[-1], self.n_band, self.max_buffer_size)
         return self.pqmf.forward(x)
 
     def inverse(self, x):
@@ -264,6 +291,8 @@ class PQMFWrapper(_RegistryMixin):
             raise ValueError(
                 f"input must be [batch, {self.n_band}, T'] or "
                 f"[1, {self.n_band}, T']")
+        _check_buffer(x.shape[-1] * self.n_band, self.n_band,
+                      self.max_buffer_size, what="sub-band signal")
         return self.pqmf.inverse(x)
 
     def process(self, x):
@@ -287,7 +316,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
                  m_buffer_size: int = 8192, sample_rate: int = 44100,
                  shifts_in_semitones=None, precision: str = "highest",
                  use_pallas="auto", phase_rule: str = "reference",
-                 mesh=None):
+                 mesh=None, max_buffer_size: int | None = 16384):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
@@ -307,7 +336,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         self.pitchshift_in_ch = 1
         self.pitchshift_out_ch = 1
         self.m_buffer_size = m_buffer_size
-        self.max_buffer_size = 16384
+        self.max_buffer_size = max_buffer_size
 
         if shifts_in_semitones is None:
             self.shifts = list(range(n_band))  # chromatic default (:131)
@@ -354,6 +383,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         if not (x.ndim == 3 and x.shape[1] == 1):
             raise ValueError(
                 "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        _check_buffer(x.shape[-1], self.n_band, self.max_buffer_size)
         return self.pqmf.forward(x)
 
     def inverse(self, x):
@@ -407,6 +437,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         if not (x.ndim == 3 and x.shape[1] == 1):
             raise ValueError(
                 "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        _check_buffer(x.shape[-1], self.n_band, self.max_buffer_size)
         return self.pqmf.roundtrip(x)[:, 0, :]
 
     # -- multi-stream serving -------------------------------------------------
@@ -522,13 +553,15 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     window = S.hann_window(win, dt)
 
     # batched reflect-pad STFT of all bands (one geometry, torchaudio's
-    # normalized=False convention)
-    x = bands.reshape(B * M, Tb)
+    # normalized=False convention); band-major so a (data, band) mesh
+    # keeps the band axis sharded through the middle (see the flagship
+    # _fused_band_pitchshift for the GSPMD reshape rule)
+    x = jnp.swapaxes(bands, 0, 1).reshape(M * B, Tb)
     re, im = S.stft_ri(x, n_fft, hop, window, center=True, normalized=False,
                        pad_mode="reflect", precision=precision)
     F_, frames = re.shape[1], re.shape[2]
-    re = re.reshape(B, M, F_, frames).swapaxes(0, 1)  # [M, B, F, frames]
-    im = im.reshape(B, M, F_, frames).swapaxes(0, 1)
+    re = re.reshape(M, B, F_, frames)  # [M, B, F, frames]
+    im = im.reshape(M, B, F_, frames)
     omega = pv.phase_advance(F_, hop, n_fft, dt)
     trim = n_fft // 2
     K_taps = W.shape[-1]
@@ -589,7 +622,8 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
     def __init__(self, attenuation: int = 100, n_band: int = 16,
                  m_buffer_size: int = 512, sample_rate: int = 44100,
                  shifts_in_semitones=None, precision: str = "highest",
-                 use_pallas="auto", mesh=None):
+                 use_pallas="auto", mesh=None,
+                 max_buffer_size: int | None = 8192):
         self.n_band = n_band
         self.attenuation = attenuation
         self.sample_rate = sample_rate
@@ -612,7 +646,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         self.pitchshifter_in_ch = 1
         self.pitchshifter_out_ch = 2
         self.m_buffer_size = m_buffer_size
-        self.max_buffer_size = 8192
+        self.max_buffer_size = max_buffer_size
 
         sub_sr = int(round(float(sample_rate) / float(max(1, n_band))))
         self.sub_band_sample_rate = sub_sr
@@ -640,12 +674,15 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         if not (x.ndim == 3 and x.shape[1] == 1):
             raise ValueError(
                 "input must be [1, buffer_size] or [batch, 1, buffer_size]")
+        _check_buffer(x.shape[-1], self.n_band, self.max_buffer_size)
         return self.pqmf.forward(x)
 
     def inverse(self, x):
         x = jnp.asarray(x)
         if not (x.ndim == 3 and x.shape[1] == self.n_band):
             raise ValueError(f"input must be [batch, {self.n_band}, T']")
+        _check_buffer(x.shape[-1] * self.n_band, self.n_band,
+                      self.max_buffer_size, what="sub-band signal")
         return self.pqmf.inverse(x)
 
     # -- fused path (ONE jitted dispatch) ------------------------------------
@@ -712,14 +749,24 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         # values and ignore a later pqmf.set_weights() (artifact restore
         # / fine-tune), unlike the flagship path
         pq = self.pqmf
-        _, sub = _cached_analysis(x, hkf, _EMPTY, mode="offline",
-                                  precision=pq.precision,
-                                  use_pallas=pq.use_pallas,
-                                  mesh=pq.mesh)  # [B, M, Tb]
+        if self.n_band == 1:
+            # StreamingPQMF's n_band==1 identity early-out (matching the
+            # reference's PQMF passthrough, pqmf.py:250-251): the 1-band
+            # "filterbank" is a passthrough, so only the shift runs —
+            # running the 1-band conv here would change the output
+            # (advisor r2)
+            sub = x
+        else:
+            _, sub = _cached_analysis(x, hkf, _EMPTY, mode="offline",
+                                      precision=pq.precision,
+                                      use_pallas=pq.use_pallas,
+                                      mesh=pq.mesh)  # [B, M, Tb]
         shifted = _fused_ta_pitchshift(
             sub, rates, fo, ls, zero, W, start, self._n_fft, self._hop,
             self._win, sub.shape[-1], FO_max, pad_left, Lbuf,
             resample_kind=resample_kind, precision=self.precision)
+        if self.n_band == 1:
+            return shifted
         _, y = _cached_synthesis(shifted, hki, _EMPTY, mode="offline",
                                  precision=pq.precision,
                                  use_pallas=pq.use_pallas, mesh=pq.mesh)
@@ -738,9 +785,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
             raise ValueError(
                 "input must be [1, buffer_size] or [batch, 1, buffer_size]")
         T = x.shape[-1]
-        if T % self.n_band:
-            raise ValueError(
-                f"T={T} must be divisible by n_band={self.n_band}")
+        _check_buffer(T, self.n_band, self.max_buffer_size)
         Tb = T // self.n_band
         plan = self._ta_plan(Tb)
         kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"

@@ -295,7 +295,8 @@ def test_ta_fused_whole_file_uses_linear_memory_path():
     w = PQMFPitchShiftWrapperTA(100, 16, 8192,
                                 shifts_in_semitones=[0, -3, 5, 12, -7, 2,
                                                      1, -1, 4, -5, 3, -2,
-                                                     6, -6, 7, -24])
+                                                     6, -6, 7, -24],
+                                max_buffer_size=None)  # offline whole-file
     T = 16 * (w._ONEHOT_MAX_TB + 512)  # just past the one-hot limit
     x = np.random.default_rng(17).standard_normal(
         (1, 1, T)).astype(np.float32) * 0.3
@@ -358,26 +359,39 @@ def test_phase_rule_accumulate_option():
     assert 1e-4 < r < 1.0
 
 
-@pytest.mark.parametrize("n_band,buffer", [(32, 2048), (8, 4096)])
-def test_flagship_other_band_counts(n_band, buffer):
-    """Non-default configs: geometry derivation + full fused step run and
-    reconstruct with plausible energy."""
+@pytest.mark.parametrize("n_band,buffer", [(8, 4096), (32, 8192)])
+def test_flagship_other_band_counts_oracle_parity(n_band, buffer):
+    """Oracle parity OFF the default config (VERDICT r2 item 4): the full
+    fused step at (8, 4096) and (32, 8192) vs the torch reference chain,
+    pinning ``derive_stft_geometry`` and the per-band masks away from the
+    (16, 8192) default. Wrap-stable shifts ({0, -12, -24}: integer rates,
+    so the interpolation weight a is identically 0 and the chaotic dp term
+    of near-zero STFT bins vanishes — see test_pitchshift_variable_block_size
+    for the analysis) make strict >85 dB parity meaningful."""
     from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
 
     rng = np.random.default_rng(11)
+    stable = [(0, -12, -24)[i % 3] for i in range(n_band)]
     w = PQMFPitchShiftWrapper(100, n_band, buffer,
-                              shifts_in_semitones=[0] * n_band)
-    x = rng.standard_normal((1, 1, buffer)).astype(np.float32) * 0.1
-    state, y = w.pitchshift_fn(w.init_state(), x)
-    assert y.shape == (1, buffer)
-    # NOTE: even at zero shift the reference's pipeline attenuates: its
-    # ISTFT output ((fo-1)*hop samples) is symmetrically zero-padded to
-    # (fo-1)*hop + n_fft before the resample back to T
-    # (VocoderPitchShifter.py:279-297), time-compressing real content to
-    # ~half the span. We reproduce that (parity), so only bound sanity.
-    rin = float(np.sqrt((x ** 2).mean()))
-    rout = float(np.sqrt((np.asarray(y) ** 2).mean()))
-    assert 0.1 * rin < rout < 3.0 * rin
+                              shifts_in_semitones=stable)
+    hk = np.asarray(w.pqmf.params["hk"])
+    x = rng.standard_normal((1, 1, buffer)).astype(np.float32) * 0.3
+
+    state = w.init_state()
+    state, got = w.pitchshift_fn(state, x)
+    assert np.asarray(got).shape == (1, buffer)
+
+    prev = np.zeros((n_band, w.band_overlap), np.float32)
+    want, want_tail = torch_flagship_pitchshift(x, hk, stable, buffer, prev)
+    s = snr_db(want, np.asarray(got))
+    assert s > 85, f"M={n_band} buffer={buffer}: oracle parity {s:.1f} dB"
+    # tails of strongly-compressed bands are all-but-zero (the -24 shift
+    # packs content into the first half): SNR is meaningless on float
+    # dust, so accept either dB parity or absolute agreement
+    tail_err = float(np.abs(want_tail - np.asarray(state["prev_tail"])).max())
+    s_tail = snr_db(want_tail, np.asarray(state["prev_tail"]))
+    assert s_tail > 85 or tail_err < 1e-6, (
+        f"M={n_band}: tail parity {s_tail:.1f} dB, max err {tail_err:.2e}")
 
 
 def test_stream_ola_matches_host_loop():

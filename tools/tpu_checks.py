@@ -82,18 +82,24 @@ def main():
     from pqmf_tpu.streaming import kernels_from_params
     from pqmf_tpu.utils.audio import read_wav
 
-    xw, _ = read_wav("/root/reference/audio/flute.wav")
-    xw = xw[:1, : (xw.shape[-1] // 16) * 16]
     ftq = StreamingPQMF(100, 16, use_pallas=True)
     p_ft = load_pretrained_bank()
     ftq.set_weights(p_ft, *kernels_from_params(p_ft))
-    yf = np.asarray(ftq.roundtrip(xw[None]))
-    d = ftq.centered_advance
-    ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
-    ft_snr = 10 * np.log10(float((xa ** 2).sum())
-                           / float(((ya - xa) ** 2).sum()))
-    ok &= check(f"fine-tuned bank flute SNR {ft_snr:.1f} dB (need > 80)",
-                80.0 - ft_snr, 0.0)
+    # all THREE bundled fixtures (CPU-measured: 84.4 / 82.0 / 84.9 dB) —
+    # the white-noise-trained bank must generalize across program material
+    for fix in ("flute.wav", "violin_bow_nonvib_f4_44100.wav",
+                "flutemulti.wav"):
+        xw, _ = read_wav(f"/root/reference/audio/{fix}")
+        if xw.shape[0] > 1:
+            xw = xw.mean(axis=0, keepdims=True)
+        xw = xw[:1, : (xw.shape[-1] // 16) * 16].astype(np.float32)
+        yf = np.asarray(ftq.roundtrip(xw[None]))
+        d = ftq.centered_advance
+        ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
+        ft_snr = 10 * np.log10(float((xa ** 2).sum())
+                               / float(((ya - xa) ** 2).sum()))
+        ok &= check(f"fine-tuned bank {fix} SNR {ft_snr:.1f} dB (need > 80)",
+                    80.0 - ft_snr, 0.0)
 
     # bf16x3 tier (split-operand 3-pass dots): ~2^-16 relative of HIGHEST
     x3q = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
@@ -153,6 +159,26 @@ def main():
     print(f"{'PASS' if good else 'FAIL'}  TA fused on-chip vs per-band "
           f"loop: {s3:.1f} dB (need > 80)")
     ok &= good
+
+    # TA shifter ON CHIP vs the INDEPENDENT torch oracle (torchaudio's
+    # published algorithm in torch, tests/ta_oracle.py) — the check that
+    # caught the round()-vs-int() resample-rate slip
+    import torch as _torch
+
+    from ta_oracle import torch_pitch_shift
+    from pqmf_tpu.shifters import TorchaudioPitchShift
+
+    xsb = rng.standard_normal((1, 512)).astype(np.float32) * 0.3
+    for nst in (1, -5, 12):
+        want_ta = torch_pitch_shift(_torch.from_numpy(xsb), 2756,
+                                    nst).numpy()
+        got_ta = np.asarray(TorchaudioPitchShift(2756, nst)(xsb))
+        s4 = snr_db(want_ta, got_ta)
+        good = s4 > 60
+        print(f"{'PASS' if good else 'FAIL'}  TA shifter on-chip vs "
+              f"independent torch oracle (n={nst:+d}): {s4:.1f} dB "
+              f"(need > 60)")
+        ok &= good
 
     # AOT StableHLO artifact reload ON CHIP equals the live wrapper
     import tempfile
