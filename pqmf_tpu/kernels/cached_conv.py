@@ -194,8 +194,58 @@ def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt,
     out_ref[:] = (jnp.swapaxes(acc, 0, 1) if wave else acc)[None]
 
 
+def _grouped_slice_kernel(x_hbm, wt_ref, out_ref, xw2, sem2, *, S, L, Tt,
+                          nt, prec, tm, wave):
+    """Row-sliced variant of :func:`_grouped_acc_kernel` (the round-3
+    roofline attempt): keep the window TIME-major [win, S] and accumulate
+    ``acc[Tt, Q] += xw[l:l+Tt, :] @ Wt[l]`` — the l-offsets are whole
+    128-sample time units, i.e. SUBLANE offsets of the time-major window,
+    so the per-l lane rotations (pltpu.roll) of the lane-major form
+    disappear entirely. The dot runs transposed ([Tt, S] @ [S, Q]); with
+    Q = 128 output lanes the store is full-width (the historical 2x
+    penalty applied to 16-lane stores). "wave" output needs no final
+    transpose (acc IS time-major); "rows" transposes once per tile.
+    wt_ref: [L*S, Q] = per-block transposed weights."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    if tm:
+        slot = _dma_window_tm(x_hbm, b, i, Tt, xw2, sem2, nt)
+        xw = xw2[slot]  # [win, S] time-major already
+    else:
+        slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
+        xw = jnp.swapaxes(xw2[slot], 0, 1)  # one transpose, zero rolls
+    dn = (((1,), (0,)), ((), ()))
+    if prec in ("bf16x3", "high"):
+        wh, wl = _split_bf16(wt_ref[:])
+        acc = None
+        for l in range(L):
+            a = xw[l:l + Tt, :]
+            ah, al = _split_bf16(a)
+            whb = wh[l * S:(l + 1) * S, :]
+            wlb = wl[l * S:(l + 1) * S, :]
+            y = (jax.lax.dot_general(ah, whb, dn,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(ah, wlb, dn,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(al, whb, dn,
+                                       preferred_element_type=jnp.float32))
+            acc = y if acc is None else acc + y
+    else:
+        acc = None
+        for l in range(L):
+            y = jax.lax.dot_general(
+                xw[l:l + Tt, :], wt_ref[l * S:(l + 1) * S, :],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=_PRECISIONS[prec],
+            )
+            acc = y if acc is None else acc + y
+    out_ref[:] = (acc if wave else jnp.swapaxes(acc, 0, 1))[None]
+
+
 def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
-                         mxu_precision="highest", out_layout="rows"):
+                         mxu_precision="highest", out_layout="rows",
+                         scheme="roll"):
     """Generic grouped conv: output[u] = w2 @ x-window(u*S, L*S).
 
     layout "flat": x [B, Traw] pre-padded row-major (col, s) — one XLA
@@ -240,14 +290,27 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
         out_spec = pl.BlockSpec((1, Q, Tt), lambda b, i: (b, 0, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((B, Q, nt * Tt), xp.dtype)
+    if scheme == "slice":
+        kern = functools.partial(_grouped_slice_kernel, S=S, L=L, Tt=Tt,
+                                 nt=nt, prec=mxu_precision, tm=tm,
+                                 wave=wave)
+        # per-block transposed weights [L*S, Q]
+        w_in = jnp.transpose(w2.reshape(Q, L, S), (1, 2, 0)).reshape(LS, Q)
+        w_spec = pl.BlockSpec((LS, Q), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        kern = functools.partial(_grouped_acc_kernel, S=S, L=L, Tt=Tt,
+                                 nt=nt, prec=mxu_precision, tm=tm,
+                                 wave=wave)
+        w_in = w2
+        w_spec = pl.BlockSpec((Q, LS), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_grouped_acc_kernel, S=S, L=L, Tt=Tt, nt=nt,
-                          prec=mxu_precision, tm=tm, wave=wave),
+        kern,
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((Q, LS), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
         ],
         out_specs=out_spec,
         out_shape=out_shape,
@@ -261,7 +324,7 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(interpret),
-    )(xp, w2)
+    )(xp, w_in)
     return out[:, :U, :] if wave else out[:, :, :U]
 
 
@@ -301,10 +364,11 @@ def _ana_grouped_weights(w, M, G, fuse_mask, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("M", "tile", "interpret", "fuse_mask",
-                                    "out_layout", "mxu_precision"))
+                                    "out_layout", "mxu_precision",
+                                    "scheme"))
 def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
                           fuse_mask=True, out_layout="bands",
-                          mxu_precision="highest"):
+                          mxu_precision="highest", scheme="roll"):
     """Valid stride-M conv of a pre-padded mono signal + optional fused
     reverse_half on the output.
 
@@ -335,7 +399,8 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
         U = -(-T_out // G)
         out = _grouped_matmul_conv(x[:, 0, :], w2, S, U, tile, interpret,
                                    layout="time",
-                                   mxu_precision=mxu_precision)
+                                   mxu_precision=mxu_precision,
+                                   scheme=scheme)
         if out_layout == "grouped":
             return out
         y = out.reshape(B, G, Mb, U)
@@ -434,9 +499,10 @@ def _syn_grouped_weights(w, G, fuse_mask, x_offset, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "interpret", "fuse_mask",
-                                    "x_offset", "mxu_precision"))
+                                    "x_offset", "mxu_precision", "scheme"))
 def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
-                         x_offset=0, mxu_precision="highest"):
+                         x_offset=0, mxu_precision="highest",
+                         scheme="roll"):
     """Valid stride-1 M->M conv of pre-padded sub-bands with the streaming
     synthesis post-amble fused: optional reverse_half on the input
     (``x_offset`` = index of x[..., 0] in the ORIGINAL unpadded signal,
@@ -478,7 +544,7 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
         out = _grouped_matmul_conv(xp, v2, S, U, tile, interpret,
                                    layout="cols",
                                    mxu_precision=mxu_precision,
-                                   out_layout="wave")
+                                   out_layout="wave", scheme=scheme)
         # wave rows (u, (r, c)) ARE time-major samples: free reshape
         return out.reshape(B, U * G, M)[:, :T_out, :]  # [B, T_out, M]
 
@@ -535,9 +601,10 @@ def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("M", "syn_pad", "tile", "interpret",
-                                    "mxu_precision"))
+                                    "mxu_precision", "scheme"))
 def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
-                         interpret=None, mxu_precision="highest"):
+                         interpret=None, mxu_precision="highest",
+                         scheme="roll"):
     """Analysis -> synthesis round trip with the sub-bands kept in the
     time-grouped layout in between.
 
@@ -579,7 +646,7 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     Ua = -(-T_ana // G)
     ga = _grouped_matmul_conv(x[:, 0, :], w2a, Sa, Ua, tile, interpret,
                               layout="time",
-                              mxu_precision=mxu_precision)
+                              mxu_precision=mxu_precision, scheme=scheme)
 
     # the last group's rows past T_ana hold edge-conv values (the
     # analysis window still overlaps real samples there); the composed
@@ -593,6 +660,7 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     T_out = pl_ + T_ana + pr_ - Ks + 1
     Us = -(-T_out // G)
     z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret, layout="cols",
-                             mxu_precision=mxu_precision, out_layout="wave")
+                             mxu_precision=mxu_precision, out_layout="wave",
+                             scheme=scheme)
     # wave rows (u, (r, c)) ARE time-major samples: free reshape
     return z.reshape(B, Us * G, M)[:, :T_out, :]
