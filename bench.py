@@ -69,7 +69,7 @@ def bench_jax(x, chain=400, precision="highest"):
     def roundtrip(v):
         # the fused grouped-layout round trip (same conv geometry as the
         # reference's exported CachedPQMF artifact, pqmf.py:306-354);
-        # bit-identical to pq.inverse(pq.forward(v))
+        # equals pq.inverse(pq.forward(v)) to f32 rounding
         return pq.roundtrip(v)
 
     @jax.jit

@@ -604,7 +604,7 @@ def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
                                     "mxu_precision", "scheme"))
 def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
                          interpret=None, mxu_precision="highest",
-                         scheme="roll"):
+                         scheme="slice"):
     """Analysis -> synthesis round trip with the sub-bands kept in the
     time-grouped layout in between.
 
@@ -621,13 +621,16 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     w_ana [M, 1, Ka]); w_syn: [M, M, Ks]; syn_pad = (left, right) zero
     padding of the sub-band signal before the stride-1 synthesis conv,
     with left % (128//M) == 0 (see fused_roundtrip_supported).
-    Returns [B, T_syn_out, M] time-major, bit-identical to
+    Returns [B, T_syn_out, M] time-major, equal to
 
         dense_synthesis_conv(pad(strided_analysis_conv(x, w_ana, M),
                                  syn_pad), w_syn)
 
     with both fuse_masks on (the masks cancel elementwise before the
-    weights touch the data).
+    weights touch the data) — bit-exact with scheme="roll" (and on CPU
+    interpret always); the default scheme="slice" computes transposed
+    MXU dots that round differently at the f32 epsilon level (~2e-7)
+    on the chip, ~5% faster (same-window A/B, tools/ab_schemes.py).
     """
     B, _, Tpad = x.shape
     Mb, _, Ka = w_ana.shape

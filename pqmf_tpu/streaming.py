@@ -400,8 +400,10 @@ class StreamingPQMF:
         the kernels' grouped layout between the two convs
         (kernels.cached_conv.fused_roundtrip_conv — no re-interleave
         transposes, and the two reverse_half masks cancel); other
-        configurations fall back to the composition. Output is
-        bit-identical either way."""
+        configurations fall back to the composition. Output equals the
+        composition exactly on CPU (interpret mode) and to f32 rounding
+        (~2e-7) on the chip, where the fused path's row-sliced scheme
+        computes transposed MXU dots."""
         from pqmf_tpu.kernels import cached_conv as cc
 
         M = self.n_band

@@ -67,10 +67,13 @@ def main():
     ok &= check("streaming blocks pallas==lax",
                 float(jnp.abs(yr - yp).max()), 5e-5)
 
-    # fused grouped-layout round trips == the compositions, natively
+    # fused grouped-layout round trips == the compositions, natively.
+    # (Was tol 0 through round 2; the round-3 row-sliced fused scheme
+    # computes transposed MXU dots, which round differently at the f32
+    # epsilon level — 2.4e-7 measured — so the bound is now float-level.)
     ok &= check("fused cached roundtrip == composed",
                 float(jnp.abs(palq.roundtrip(x)
-                              - palq.inverse(palq.forward(x))).max()), 0.0)
+                              - palq.inverse(palq.forward(x))).max()), 5e-6)
     ppq = PQMF(100, 16, use_pallas=True)
     ok &= check("fused polyphase roundtrip == composed",
                 float(jnp.abs(ppq.roundtrip(x)
