@@ -226,10 +226,15 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
 
 def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
     """Load a committed fine-tuned bank (pqmf_tpu/data/<name>.npz) as a
-    params pytree. ``hk16_atten100_finetuned`` is the
-    :func:`finetune_filterbank` default run's result: 80.1 dB flute.wav
-    round-trip SNR (designed Kaiser bank: 65.1 dB measured the same way,
-    54.8 dB through the offline module path) at -62 dB worst stopband."""
+    params pytree. Shipped banks (all :func:`finetune_filterbank` default
+    runs, trained on white noise only; streaming-path round-trip SNR on
+    flute / violin / flutemulti, worst stopband -62 dB):
+
+    - ``hk16_atten100_finetuned``: 84.4 / 82.0 / 84.9 dB
+      (designed Kaiser bank: 65.1 / 58.8 / 67.5 dB the same way).
+    - ``hk8_atten100_finetuned``: 93.8 / 87.9 / 98.1 dB
+      (designed: 60.9 / 72.8 / 82.0 dB).
+    """
     import os
 
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),

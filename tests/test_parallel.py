@@ -340,22 +340,28 @@ def test_finetune_improves_interior_reconstruction():
     assert 20 * np.log10(worst) < -40
 
 
-@pytest.mark.parametrize("name,floor,designed", [
+@pytest.mark.parametrize("n_band,bank,name,floor,designed", [
     # measured (CPU, identical to on-chip within 0.1 dB): 84.4 / 82.0 /
     # 84.9 dB fine-tuned vs 65.1 / 58.8 / 67.5 dB designed
-    ("flute.wav", 80.0, 65.1),
-    ("violin_bow_nonvib_f4_44100.wav", 80.0, 58.8),
-    ("flutemulti.wav", 80.0, 67.5),
+    (16, None, "flute.wav", 80.0, 65.1),
+    (16, None, "violin_bow_nonvib_f4_44100.wav", 80.0, 58.8),
+    (16, None, "flutemulti.wav", 80.0, 67.5),
+    # M=8 bank (same finetune_filterbank defaults): measured 93.8 / 87.9 /
+    # 98.1 dB vs designed 60.9 / 72.8 / 82.0, worst stopband -62 dB
+    (8, "hk8_atten100_finetuned", "flute.wav", 90.0, 60.9),
+    (8, "hk8_atten100_finetuned", "violin_bow_nonvib_f4_44100.wav",
+     84.0, 72.8),
+    (8, "hk8_atten100_finetuned", "flutemulti.wav", 94.0, 82.0),
 ])
-def test_pretrained_bank_beats_designed_on_every_fixture(name, floor,
-                                                         designed):
-    """The committed fine-tuned 16-band bank (data/
-    hk16_atten100_finetuned.npz, trained on WHITE NOISE only) holds
-    > 80 dB round-trip on ALL THREE bundled fixtures (SURVEY §1 data
-    layer) — 15-23 dB above the designed Kaiser bank on each — through
-    the real streaming path. Multi-fixture evidence that the
-    noise-trained interior loss generalizes across program material
-    (VERDICT r2 item 6), not a flute-specific fit."""
+def test_pretrained_bank_beats_designed_on_every_fixture(n_band, bank, name,
+                                                         floor, designed):
+    """Every committed fine-tuned bank (data/hk{M}_atten100_finetuned.npz,
+    trained on WHITE NOISE only) holds its SNR floor on ALL THREE bundled
+    fixtures (SURVEY §1 data layer) — 15-33 dB above the designed Kaiser
+    bank on each — through the real streaming path. Multi-fixture,
+    multi-band-count evidence that the noise-trained interior loss
+    generalizes across program material (VERDICT r2 item 6), not a
+    flute-specific fit."""
     from pqmf_tpu.parallel.training import load_pretrained_bank
     from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
     from pqmf_tpu.utils.audio import read_wav
@@ -363,9 +369,10 @@ def test_pretrained_bank_beats_designed_on_every_fixture(name, floor,
     x, _ = read_wav(f"/root/reference/audio/{name}")
     if x.shape[0] > 1:
         x = x.mean(axis=0, keepdims=True)  # mono-average, 2-TestBlocks.py:30
-    x = x[:1, : (x.shape[-1] // 16) * 16].astype(np.float32)
-    params = load_pretrained_bank()
-    sp = StreamingPQMF(100, 16)
+    x = x[:1, : (x.shape[-1] // n_band) * n_band].astype(np.float32)
+    params = (load_pretrained_bank() if bank is None
+              else load_pretrained_bank(bank))
+    sp = StreamingPQMF(100, n_band)
     sp.set_weights(params, *kernels_from_params(params))
     y = np.asarray(sp.roundtrip(x[None]))
     d = sp.centered_advance
