@@ -8,13 +8,15 @@ reconstruction loss + stopband penalty (parallel.training.
 make_finetune_loss) finds banks the Kaiser family can't express:
 
     designed (atten=100, 16 bands): 65.1 dB flute.wav round trip
-    fine-tuned (2000 steps, ~1 min on one TPU chip): 84.4 dB
-    (worst stopband: -107 dB -> -62 dB; the committed result of this
-    exact run ships as pqmf_tpu/data/hk16_atten100_finetuned.npz)
+    fine-tuned (constant lr, 2000 steps, ~1 min of TPU): 84.4 dB
+    fine-tuned (cosine decay, 8000 steps — the committed recipe): 98.1 dB
+    (worst stopband: -107 dB -> ~-60 dB; the committed cosine runs ship
+    as pqmf_tpu/data/hk{8,16,32}_atten100_finetuned.npz)
 
 Usage:
     python examples/finetune_demo.py --cpu --steps 100      # quick look
-    python examples/finetune_demo.py --steps 2000           # full run (TPU)
+    python examples/finetune_demo.py --steps 8000 --lr 2e-5 \
+        --lr_schedule cosine --batch 4 --length 8192  # committed recipe (TPU)
 """
 
 from __future__ import annotations
@@ -32,6 +34,12 @@ def main():
     ap.add_argument("--n_band", type=int, default=16)
     ap.add_argument("--atten", type=int, default=100)
     ap.add_argument("--lr", type=float, default=3e-6)
+    ap.add_argument("--lr_schedule", choices=["constant", "cosine"],
+                    default="constant",
+                    help="cosine (lr as the peak, decayed to 0) breaks the "
+                         "constant-lr plateau — every committed bank uses it")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--length", type=int, default=4096)
     ap.add_argument("--stopband_weight", type=float, default=1e-4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None,
@@ -66,10 +74,13 @@ def main():
           f"({args.wav.rsplit('/', 1)[-1]})")
 
     print(f"fine-tuning {args.steps} steps "
-          f"(Adam {args.lr}, stopband weight {args.stopband_weight}) ...")
+          f"(Adam {args.lr} {args.lr_schedule}, "
+          f"stopband weight {args.stopband_weight}) ...")
     params, losses = finetune_filterbank(
         args.atten, M, steps=args.steps, lr=args.lr,
-        stopband_weight=args.stopband_weight)
+        batch=args.batch, length=args.length,
+        stopband_weight=args.stopband_weight,
+        lr_schedule=args.lr_schedule)
     print(f"interior loss   : {losses[0]:.3e} -> {losses[-1]:.3e}")
 
     sp.set_weights(params, *kernels_from_params(params))

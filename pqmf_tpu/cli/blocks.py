@@ -51,6 +51,11 @@ def main(argv=None):
                    help="run the whole stream as ONE jitted lax.scan "
                         "(blocking + OLA in-graph; no per-block host "
                         "round-trips)")
+    p.add_argument("--finetuned", action="store_true",
+                   help="install the committed fine-tuned bank for this "
+                        "(attenuation, n_band) on the constructed wrapper "
+                        "(ignored with --artifact: its weights already ride "
+                        "in the manifest)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -104,6 +109,11 @@ def main(argv=None):
     if wrapper is None:
         wrapper = PQMFPitchShiftWrapper(args.attenuation, args.n_band,
                                         args.buffer, sr, shifts)
+        if args.finetuned:
+            from pqmf_tpu.cli._common import install_finetuned_bank
+
+            print(f"installed fine-tuned bank "
+                  f"{install_finetuned_bank(wrapper, args.attenuation, args.n_band)}")
 
     n = np.arange(args.block)
     window = (0.5 - 0.5 * np.cos(2 * np.pi * n / args.block)).astype(

@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--buffer", type=int, default=8192)
     p.add_argument("--stablehlo", action="store_true",
                    help="also AOT-export the process method (jax.export)")
+    p.add_argument("--finetuned", action="store_true",
+                   help="install the committed fine-tuned bank for this "
+                        "(attenuation, n_band) before export — beats the "
+                        "Kaiser design's reconstruction on every bundled "
+                        "fixture (see parallel.training.load_pretrained_bank)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -40,6 +45,12 @@ def main(argv=None):
     print("exporting PQMFWrapper artifact...")
     wrapper = PQMFWrapper(args.attenuation, args.n_band,
                           m_buffer_size=args.buffer)
+    if args.finetuned:
+        from pqmf_tpu.cli._common import install_finetuned_bank
+
+        bank = install_finetuned_bank(wrapper, args.attenuation, args.n_band)
+        print(f"installed fine-tuned bank {bank} (weights ride in the "
+              f"artifact)")
     save_artifact(wrapper, args.out_dir, with_stablehlo=args.stablehlo)
     print(f"artifact saved to {args.out_dir}")
 

@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--stablehlo", action="store_true",
                    help="embed a jax.export StableHLO of the pitchshift "
                         "step in the artifact")
+    p.add_argument("--finetuned", action="store_true",
+                   help="install the committed fine-tuned bank for this "
+                        "(attenuation, n_band) before export — better "
+                        "decompose/reconstruct quality than the Kaiser "
+                        "design (parallel.training.load_pretrained_bank)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -48,6 +53,12 @@ def main(argv=None):
 
     wrapper = PQMFPitchShiftWrapper(args.attenuation, args.n_band,
                                     args.buffer, 44100, shifts)
+    if args.finetuned:
+        from pqmf_tpu.cli._common import install_finetuned_bank
+
+        bank = install_finetuned_bank(wrapper, args.attenuation, args.n_band)
+        print(f"installed fine-tuned bank {bank} (weights ride in the "
+              f"artifact)")
     save_artifact(wrapper, args.out_dir, with_stablehlo=args.stablehlo)
     print(f"artifact saved to {args.out_dir}")
 

@@ -37,6 +37,10 @@ def main(argv=None):
                         "(PQMFPsWrapper.py:157)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="audio")
+    p.add_argument("--finetuned", action="store_true",
+                   help="install the committed fine-tuned bank for this "
+                        "(attenuation, n_band) — better decompose/"
+                        "reconstruct quality than the Kaiser design")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -71,6 +75,11 @@ def main(argv=None):
     # declared limit applies to real-time host blocks
     w = PQMFPitchShiftWrapperTA(args.attenuation, args.n_band, args.buffer,
                                 sr, shifts, max_buffer_size=None)
+    if args.finetuned:
+        from pqmf_tpu.cli._common import install_finetuned_bank
+
+        print(f"installed fine-tuned bank "
+              f"{install_finetuned_bank(w, args.attenuation, args.n_band)}")
     x = wav[None]
     sub = w.forward(x)
     recon = np.asarray(w.inverse(sub))

@@ -27,7 +27,8 @@ from pqmf_tpu.ops import filterbank as fb
 
 __all__ = ["analysis_from_hk", "synthesis_from_hk", "reconstruction_loss",
            "make_finetune_loss", "finetune_filterbank",
-           "load_pretrained_bank", "TrainState", "make_train_step",
+           "load_pretrained_bank", "available_pretrained_banks",
+           "TrainState", "make_train_step",
            "TrainablePQMF", "save_train_state", "load_train_state"]
 
 
@@ -183,7 +184,8 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
                         batch: int = 8, length: int = 4096, lr: float = 3e-6,
                         stopband_weight: float = 1e-4, seed: int = 0,
                         mesh: Mesh | None = None,
-                        precision: str = "highest"):
+                        precision: str = "highest",
+                        lr_schedule: str = "constant"):
     """Fine-tune the designed bank's reconstruction on white noise (one
     jitted scan over ``steps`` Adam steps) and return ``(params,
     losses)`` — a params pytree installable via
@@ -197,6 +199,16 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
     (held out) SNR 65.1 -> 80.1 dB at a -62 dB worst stopband
     (designed: -107 dB; see :func:`make_finetune_loss` for the
     trade-off knob).
+
+    ``lr_schedule="cosine"`` decays ``lr`` (as the peak) to 0 over
+    ``steps`` — it breaks the constant-lr convergence plateau: at M=32
+    (constant 3e-6 stalled at noise-MSE ~1e-7 ≈ 71 dB on every fixture)
+    the cosine run with lr=2e-5, steps=8000, batch=4, length=8192
+    reached 1.27e-8 and 93.6 / 79.9 / 100.5 dB on flute / violin /
+    flutemulti (designed: 50.6 / 50.7 / 74.0). Every committed bank
+    (:func:`load_pretrained_bank`) is that exact recipe at its band
+    count — at M=16 it lifts the constant-lr result a further
+    84.4 -> 98.1 dB on flute.
     """
     base = fb.build_filterbank(attenuation, n_band)
     hk0 = jnp.asarray(base["hk"])
@@ -207,7 +219,14 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
             f"would be empty and training would silently produce NaNs")
     loss_fn = make_finetune_loss(n_band, hk0.shape[-1],
                                  stopband_weight=stopband_weight)
-    init_fn, step_fn = make_train_step(optax.adam(lr), mesh=mesh,
+    if lr_schedule == "cosine":
+        rate = optax.cosine_decay_schedule(lr, steps)
+    elif lr_schedule == "constant":
+        rate = lr
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}: expected "
+                         f"'constant' or 'cosine'")
+    init_fn, step_fn = make_train_step(optax.adam(rate), mesh=mesh,
                                        precision=precision,
                                        loss_fn=loss_fn)
     state = init_fn(hk0)
@@ -226,22 +245,41 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
 
 def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
     """Load a committed fine-tuned bank (pqmf_tpu/data/<name>.npz) as a
-    params pytree. Shipped banks (all :func:`finetune_filterbank` default
-    runs, trained on white noise only; streaming-path round-trip SNR on
-    flute / violin / flutemulti, worst stopband -62 dB):
+    params pytree. Shipped banks — all trained on white noise only with
+    :func:`finetune_filterbank` (lr=2e-5, steps=8000, batch=4,
+    length=8192, lr_schedule="cosine"; the schedule matters, see that
+    docstring). Streaming-path round-trip SNR on flute / violin /
+    flutemulti, worst stopband -59 to -64 dB:
 
-    - ``hk16_atten100_finetuned``: 84.4 / 82.0 / 84.9 dB
+    - ``hk16_atten100_finetuned``: 98.1 / 84.9 / 102.0 dB
       (designed Kaiser bank: 65.1 / 58.8 / 67.5 dB the same way).
-    - ``hk8_atten100_finetuned``: 93.8 / 87.9 / 98.1 dB
+    - ``hk8_atten100_finetuned``: 95.0 / 88.2 / 102.2 dB
       (designed: 60.9 / 72.8 / 82.0 dB).
+    - ``hk32_atten100_finetuned``: 93.6 / 79.9 / 100.5 dB
+      (designed: 50.6 / 50.7 / 74.0 dB).
     """
     import os
 
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                         "data", f"{name}.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no committed bank named {name!r}; available: "
+            f"{available_pretrained_banks()}")
     with np.load(path) as z:
         return fb.params_from_hk(z["hk"],
                                  h=z["h"] if "h" in z.files else None)
+
+
+def available_pretrained_banks() -> list[str]:
+    """Names accepted by :func:`load_pretrained_bank` (the committed
+    ``pqmf_tpu/data/*.npz`` artifacts)."""
+    import os
+
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data")
+    return sorted(f[:-4] for f in os.listdir(data_dir)
+                  if f.endswith(".npz"))
 
 
 class TrainablePQMF:

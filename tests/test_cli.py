@@ -89,6 +89,34 @@ def test_export_pqmf_cli(short_wav, tmp_path, capsys):
     assert m["kind"] == "PQMFWrapper" and m["config"]["n_band"] == 8
 
 
+def test_export_pqmf_cli_finetuned(short_wav, tmp_path, capsys):
+    """--finetuned installs the committed bank; its weights ride in the
+    artifact (reload uses them, not the designed Kaiser bank)."""
+    import numpy as np
+
+    from pqmf_tpu.cli import export_pqmf
+    from pqmf_tpu.export import load_artifact
+    from pqmf_tpu.parallel.training import load_pretrained_bank
+
+    export_pqmf.main(["--input", short_wav, "--n_band", "8",
+                      "--buffer", "1024", "--finetuned",
+                      "--out_dir", str(tmp_path / "art"),
+                      "--audio_dir", str(tmp_path / "audio")])
+    loaded, _ = load_artifact(str(tmp_path / "art"))
+    want = np.asarray(load_pretrained_bank("hk8_atten100_finetuned")["hk"])
+    np.testing.assert_array_equal(np.asarray(loaded.pqmf.params["hk"]),
+                                  want)
+
+    # no committed bank for this config -> clear error naming the options
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="available"):
+        export_pqmf.main(["--input", short_wav, "--n_band", "4",
+                          "--buffer", "1024", "--finetuned",
+                          "--out_dir", str(tmp_path / "art4"),
+                          "--audio_dir", str(tmp_path / "audio")])
+
+
 def test_export_pvoc_cli(short_wav, tmp_path, capsys):
     from pqmf_tpu.cli import export_pvoc
 

@@ -88,7 +88,7 @@ def main():
     ftq = StreamingPQMF(100, 16, use_pallas=True)
     p_ft = load_pretrained_bank()
     ftq.set_weights(p_ft, *kernels_from_params(p_ft))
-    # all THREE bundled fixtures (CPU-measured: 84.4 / 82.0 / 84.9 dB) —
+    # all THREE bundled fixtures (CPU-measured: 98.1 / 84.9 / 102.0 dB) —
     # the white-noise-trained bank must generalize across program material
     for fix in ("flute.wav", "violin_bow_nonvib_f4_44100.wav",
                 "flutemulti.wav"):
@@ -103,6 +103,21 @@ def main():
                                / float(((ya - xa) ** 2).sum()))
         ok &= check(f"fine-tuned bank {fix} SNR {ft_snr:.1f} dB (need > 80)",
                     80.0 - ft_snr, 0.0)
+
+    # the M=8 committed bank too (CPU-measured 95.0 dB flute; one fixture
+    # suffices on-chip — the full 3-fixture floors run in test_parallel)
+    ft8 = StreamingPQMF(100, 8, use_pallas=True)
+    p8 = load_pretrained_bank("hk8_atten100_finetuned")
+    ft8.set_weights(p8, *kernels_from_params(p8))
+    xw, _ = read_wav("/root/reference/audio/flute.wav")
+    xw = xw[:1, : (xw.shape[-1] // 8) * 8].astype(np.float32)
+    yf = np.asarray(ft8.roundtrip(xw[None]))
+    d = ft8.centered_advance
+    ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
+    ft8_snr = 10 * np.log10(float((xa ** 2).sum())
+                            / float(((ya - xa) ** 2).sum()))
+    ok &= check(f"fine-tuned M=8 bank flute SNR {ft8_snr:.1f} dB (need > 90)",
+                90.0 - ft8_snr, 0.0)
 
     # bf16x3 tier (split-operand 3-pass dots): ~2^-16 relative of HIGHEST
     x3q = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
