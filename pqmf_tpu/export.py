@@ -105,6 +105,10 @@ def save_artifact(wrapper, path: str, with_stablehlo: bool = False,
             # with phase_rule='accumulate' or precision='default' would
             # otherwise silently reload with different audio
             "precision": wrapper.pqmf.precision,
+            # behavior-changing too: the enforced host-buffer limit (None
+            # = offline-unbounded; attribute_values drops None, so it
+            # must ride in config to survive a reload)
+            "max_buffer_size": wrapper.max_buffer_size,
         },
         "methods": wrapper.get_methods(),
         "attributes": wrapper.get_attributes(),
@@ -201,7 +205,8 @@ def load_artifact(path: str):
     kind = manifest["kind"]
 
     known = {"attenuation", "n_band", "m_buffer_size", "precision",
-             "sample_rate", "shifts_in_semitones", "phase_rule"}
+             "sample_rate", "shifts_in_semitones", "phase_rule",
+             "max_buffer_size"}
     unknown = set(cfg) - known
     if unknown:
         import warnings
@@ -212,9 +217,13 @@ def load_artifact(path: str):
             f"may differ from the exported one", stacklevel=2)
 
     precision = cfg.get("precision", "highest")
+    # old (pre-round-3) artifacts lack the key: keep each class's default
+    mbs_kw = ({"max_buffer_size": cfg["max_buffer_size"]}
+              if "max_buffer_size" in cfg else {})
     if kind == "PQMFWrapper":
         wrapper = PQMFWrapper.__new__(PQMFWrapper)
-        _init_wrapper_from_weights(wrapper, cfg, weights, manifest)
+        _init_wrapper_from_weights(wrapper, cfg, weights, manifest,
+                                   **mbs_kw)
     elif kind == "PQMFPitchShiftWrapper":
         wrapper = PQMFPitchShiftWrapper(
             cfg["attenuation"], cfg["n_band"], cfg["m_buffer_size"],
@@ -222,6 +231,7 @@ def load_artifact(path: str):
             cfg.get("shifts_in_semitones"),
             precision=precision,
             phase_rule=cfg.get("phase_rule", "reference"),
+            **mbs_kw,
         )
         _restore_pqmf_weights(wrapper.pqmf, weights)
         state_path = os.path.join(path, "state.npz")
@@ -234,6 +244,7 @@ def load_artifact(path: str):
             cfg.get("sample_rate", 44100),
             cfg.get("shifts_in_semitones"),
             precision=precision,
+            **mbs_kw,
         )
         _restore_pqmf_weights(wrapper.pqmf, weights)
     else:
@@ -247,11 +258,11 @@ def _restore_pqmf_weights(pqmf, weights):
         weights["hkf"], weights["hki"])
 
 
-def _init_wrapper_from_weights(wrapper, cfg, weights, manifest):
+def _init_wrapper_from_weights(wrapper, cfg, weights, manifest, **kw):
     # construct normally (design chain is memoized) then override weights
     wrapper.__init__(cfg["attenuation"], cfg["n_band"],
                      cfg["m_buffer_size"],
-                     precision=cfg.get("precision", "highest"))
+                     precision=cfg.get("precision", "highest"), **kw)
     _restore_pqmf_weights(wrapper.pqmf, weights)
 
 

@@ -262,6 +262,11 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
     synthesis weights' (r, c) row order, ``reshape(B, U*Q)`` is the
     interleaved waveform with no XLA transpose pass.
     """
+    if scheme not in ("roll", "slice"):
+        # a typo'd scheme silently benchmarking the roll kernel would make
+        # every A/B built on this flag meaningless
+        raise ValueError(f"unknown scheme {scheme!r}: expected 'roll' or "
+                         f"'slice'")
     Q, LS = w2.shape
     L = LS // S
     Tt = int(min(tile, max(128, 1 << (U - 1).bit_length())))

@@ -58,15 +58,18 @@ def _next_pow2(x: int) -> int:
     return p
 
 
-def _check_buffer(T: int, n_band: int, max_buffer_size, what: str = "input"):
+def _check_buffer(T: int, n_band: int, max_buffer_size, what: str = "input",
+                  check_multiple: bool = True):
     """Input-length guard shared by the three wrappers: block length must
     divide into bands, and must respect the declared host-buffer limit
     (the reference declares ``max_buffer_size`` for Pure Data's buffer
     negotiation, PQMFWrapper.py:34-41, but never enforces it; here the
     declared limit is real). Offline whole-file processing — which the
     reference's own export mains do despite the declared limit — is
-    opted into explicitly with ``max_buffer_size=None``."""
-    if T % n_band:
+    opted into explicitly with ``max_buffer_size=None``.
+    ``check_multiple=False`` for sub-band inputs, whose full-rate length
+    T'*n_band is a multiple by construction."""
+    if check_multiple and T % n_band:
         raise ValueError(
             f"{what} length {T} must be a multiple of n_band={n_band}")
     if max_buffer_size is not None and T > max_buffer_size:
@@ -75,6 +78,17 @@ def _check_buffer(T: int, n_band: int, max_buffer_size, what: str = "input"):
             f"(the declared host buffer limit); construct the wrapper "
             f"with max_buffer_size=None (or larger) for offline "
             f"whole-file processing")
+
+
+def _check_declared_buffers(m_buffer_size: int, max_buffer_size) -> None:
+    """A wrapper whose nominal block size exceeds its own declared host
+    limit would reject every one of its own calls at runtime — catch the
+    misconfiguration at construction instead."""
+    if max_buffer_size is not None and m_buffer_size > max_buffer_size:
+        raise ValueError(
+            f"m_buffer_size={m_buffer_size} exceeds "
+            f"max_buffer_size={max_buffer_size}; raise max_buffer_size (or "
+            f"pass max_buffer_size=None for offline use)")
 
 
 def derive_stft_geometry(m_buffer_size: int, n_band: int):
@@ -274,6 +288,7 @@ class PQMFWrapper(_RegistryMixin):
         self.process_out_ch = 2
         self.m_buffer_size = m_buffer_size
         self.max_buffer_size = max_buffer_size
+        _check_declared_buffers(m_buffer_size, max_buffer_size)
 
     def forward(self, x):
         x = jnp.asarray(x)
@@ -292,7 +307,8 @@ class PQMFWrapper(_RegistryMixin):
                 f"input must be [batch, {self.n_band}, T'] or "
                 f"[1, {self.n_band}, T']")
         _check_buffer(x.shape[-1] * self.n_band, self.n_band,
-                      self.max_buffer_size, what="sub-band signal")
+                      self.max_buffer_size, what="sub-band signal",
+                      check_multiple=False)
         return self.pqmf.inverse(x)
 
     def process(self, x):
@@ -337,6 +353,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         self.pitchshift_out_ch = 1
         self.m_buffer_size = m_buffer_size
         self.max_buffer_size = max_buffer_size
+        _check_declared_buffers(m_buffer_size, max_buffer_size)
 
         if shifts_in_semitones is None:
             self.shifts = list(range(n_band))  # chromatic default (:131)
@@ -647,6 +664,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         self.pitchshifter_out_ch = 2
         self.m_buffer_size = m_buffer_size
         self.max_buffer_size = max_buffer_size
+        _check_declared_buffers(m_buffer_size, max_buffer_size)
 
         sub_sr = int(round(float(sample_rate) / float(max(1, n_band))))
         self.sub_band_sample_rate = sub_sr
@@ -682,7 +700,8 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         if not (x.ndim == 3 and x.shape[1] == self.n_band):
             raise ValueError(f"input must be [batch, {self.n_band}, T']")
         _check_buffer(x.shape[-1] * self.n_band, self.n_band,
-                      self.max_buffer_size, what="sub-band signal")
+                      self.max_buffer_size, what="sub-band signal",
+                      check_multiple=False)
         return self.pqmf.inverse(x)
 
     # -- fused path (ONE jitted dispatch) ------------------------------------

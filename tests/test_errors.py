@@ -2,6 +2,7 @@
 shapes: PQMFWrapper.py:65,79; 1-PitchShifterWrapper.py:205,219) and the
 profiling utilities."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -73,6 +74,34 @@ def test_max_buffer_size_is_enforced():
     # explicit opt-out restores whole-file use
     w_open = PQMFWrapper(70, 8, m_buffer_size=256, max_buffer_size=None)
     assert np.asarray(w_open.forward(big)).shape == (1, 8, 32768 // 8)
+
+
+def test_nominal_buffer_larger_than_limit_rejected_at_construction():
+    """m_buffer_size > max_buffer_size would produce a wrapper that
+    rejects its own declared block size on every call — caught at
+    construction with a clear error in all three wrappers."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    for ctor in (lambda: PQMFWrapper(70, 8, m_buffer_size=32768),
+                 lambda: PQMFPitchShiftWrapper(70, 8, 32768),
+                 lambda: PQMFPitchShiftWrapperTA(70, 8, 16384)):
+        with pytest.raises(ValueError, match="exceeds max_buffer_size"):
+            ctor()
+    # max_buffer_size=None imposes no cap
+    PQMFWrapper(70, 8, m_buffer_size=32768, max_buffer_size=None)
+
+
+def test_unknown_kernel_scheme_rejected():
+    """A typo'd scheme must not silently fall back to the roll kernel —
+    it would invalidate every A/B comparison built on the flag."""
+    from pqmf_tpu.kernels import cached_conv as cc
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    sp = StreamingPQMF(70, 8)
+    x = np.zeros((1, 1, 1024), np.float32)
+    with pytest.raises(ValueError, match="unknown scheme"):
+        cc.strided_analysis_conv(jnp.asarray(x), sp.hkf, 8,
+                                 scheme="sliced", interpret=True)
 
 
 def test_length_must_divide_into_bands():

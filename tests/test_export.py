@@ -160,6 +160,35 @@ def test_output_changing_config_round_trips(tmp_path):
     assert np.abs(np.asarray(y_ref) - np.asarray(y_acc)).max() > 1e-3
 
 
+def test_max_buffer_size_survives_artifact_roundtrip(tmp_path):
+    """The enforced host-buffer limit is behavior-changing config: a
+    wrapper exported with max_buffer_size=None (offline use) must not
+    reload with the default limit and start rejecting whole files —
+    attribute_values silently drops None, so it must ride in config."""
+    w = PQMFWrapper(100, 8, 1024, max_buffer_size=None)
+    loaded, manifest = load_artifact(save_artifact(w, str(tmp_path / "a")))
+    assert manifest["config"]["max_buffer_size"] is None
+    assert loaded.max_buffer_size is None
+    x = np.zeros((1, 1, 65536), np.float32)
+    loaded.process(x)  # 65536 > the 16384 default: must NOT raise
+
+    # an explicit custom limit round-trips too
+    w2 = PQMFWrapper(100, 8, 1024, max_buffer_size=4096)
+    loaded2, _ = load_artifact(save_artifact(w2, str(tmp_path / "b")))
+    assert loaded2.max_buffer_size == 4096
+    with pytest.raises(ValueError, match="max_buffer_size=4096"):
+        loaded2.process(np.zeros((1, 1, 8192), np.float32))
+
+    # old artifacts without the key keep the class default
+    path = save_artifact(PQMFWrapper(100, 8, 1024), str(tmp_path / "c"))
+    mpath = os.path.join(path, "manifest.json")
+    manifest = json.load(open(mpath))
+    del manifest["config"]["max_buffer_size"]
+    json.dump(manifest, open(mpath, "w"))
+    loaded3, _ = load_artifact(path)
+    assert loaded3.max_buffer_size == 16384
+
+
 def test_unknown_config_key_warns(tmp_path):
     w = PQMFWrapper(100, 8, 1024)
     path = save_artifact(w, str(tmp_path / "warn"))
