@@ -51,10 +51,14 @@ def main():
     xx = jnp.pad(x, ((0, 0), (0, 0), (al, ar)))
     pad_cols = xx.shape[-1] - 8192
 
-    # (a) full step, state threaded through the chain
+    # (a) full step, state threaded through the chain. prev_tail must be
+    # [M, overlap]: broadcast the probe signal into a per-band tail (a
+    # [1, overlap] slice would silently broadcast band 0's tail to all M
+    # bands — wrong state threading if copied into a correctness context)
     def step(v):
-        state, y = w.pitchshift_fn({"prev_tail": v[:, 0, :w.band_overlap]},
-                                   v[:, :, :8192])
+        tail = jnp.broadcast_to(v[0, 0, :w.band_overlap],
+                                (M, w.band_overlap))
+        state, y = w.pitchshift_fn({"prev_tail": tail}, v[:, :, :8192])
         out = jnp.concatenate(
             [y[:, None, :], jnp.zeros((B, 1, pad_cols), y.dtype)], -1)
         return out.at[:, 0, :w.band_overlap].set(
