@@ -55,6 +55,11 @@ __all__ = ["strided_analysis_conv", "dense_synthesis_conv",
 
 _FRAMES_VMEM_BYTES = 4 << 20
 
+# trace-time switch for the slice kernel's bf16x3 operand split (whole
+# window once vs per-tap slice); flipped only by tools/ab_split.py between
+# fresh jax.jit closures — production callers always see the default
+_SPLIT_WINDOW_ONCE = True
+
 # MXU pass count for the in-kernel dots (measured on the 60 s fused
 # roundtrip: dots ~45 us/pass + ~0.21 ms pass-independent window/roll
 # overhead):
@@ -217,10 +222,18 @@ def _grouped_slice_kernel(x_hbm, wt_ref, out_ref, xw2, sem2, *, S, L, Tt,
     dn = (((1,), (0,)), ((), ()))
     if prec in ("bf16x3", "high"):
         wh, wl = _split_bf16(wt_ref[:])
+        if _SPLIT_WINDOW_ONCE:
+            # split the WHOLE window once — the L per-tap slices overlap
+            # by Tt-128 rows each, so splitting them individually
+            # re-splits the same data ~L*Tt/win (≈4.7x at L=5) times
+            xwh, xwl = _split_bf16(xw)
         acc = None
         for l in range(L):
-            a = xw[l:l + Tt, :]
-            ah, al = _split_bf16(a)
+            if _SPLIT_WINDOW_ONCE:
+                ah = xwh[l:l + Tt, :]
+                al = xwl[l:l + Tt, :]
+            else:
+                ah, al = _split_bf16(xw[l:l + Tt, :])
             whb = wh[l * S:(l + 1) * S, :]
             wlb = wl[l * S:(l + 1) * S, :]
             y = (jax.lax.dot_general(ah, whb, dn,
@@ -255,6 +268,10 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
     the whole-signal XLA pass. layout "cols": x [B, S, V] already
     column-major (the grouped layout itself — e.g. the output of another
     grouped conv); columns are zero-extended to the window coverage.
+    layout "time_cols": x [B, V, S] — the same grouped signal but
+    TIME-major (a "wave"-layout producer feeds it directly); rows are
+    zero-extended, the DMA window is [win, S] as-is and the slice
+    kernel needs no per-window VMEM transpose.
     w2: [Q, L*S] with Q % 8 == 0.
 
     out_layout "rows": returns [B, Q, U]. out_layout "wave": the kernel
@@ -273,11 +290,15 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
     nt = -(-U // Tt)
     win = Tt + -(-L // 128) * 128
     cols = (nt - 1) * Tt + win
-    tm = layout == "time"
+    tm = layout in ("time", "time_cols")
     if layout == "cols":
         B, _, V = x.shape
         xp = (jnp.pad(x, ((0, 0), (0, 0), (0, cols - V)))
               if cols > V else x[:, :, :cols])
+    elif layout == "time_cols":
+        B, V, _ = x.shape
+        xp = (jnp.pad(x, ((0, 0), (0, cols - V), (0, 0)))
+              if cols > V else x[:, :cols, :])
     else:
         B, Traw = x.shape
         need = cols * S
@@ -606,10 +627,10 @@ def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("M", "syn_pad", "tile", "interpret",
-                                    "mxu_precision", "scheme"))
+                                    "mxu_precision", "scheme", "mid"))
 def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
                          interpret=None, mxu_precision="highest",
-                         scheme="slice"):
+                         scheme="slice", mid="time"):
     """Analysis -> synthesis round trip with the sub-bands kept in the
     time-grouped layout in between.
 
@@ -636,6 +657,14 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     interpret always); the default scheme="slice" computes transposed
     MXU dots that round differently at the f32 epsilon level (~2e-7)
     on the chip, ~5% faster (same-window A/B, tools/ab_schemes.py).
+
+    ``mid`` selects the layout of the sub-band intermediate between the
+    two kernels: "time" (default) stores the analysis tiles TIME-major
+    ("wave" [B, Ua, Q]) and feeds the synthesis through the "time_cols"
+    input path — the analysis store-transpose and the synthesis
+    per-window VMEM transpose both vanish (the dot operands are
+    identical, so each scheme's output is bit-identical to mid="cols",
+    the round-2 layout kept for A/B: tools/ab_mid.py).
     """
     B, _, Tpad = x.shape
     Mb, _, Ka = w_ana.shape
@@ -650,10 +679,14 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
             " gate with fused_roundtrip_supported()")
     T_ana = (Tpad - Ka) // M + 1
 
+    if mid not in ("time", "cols"):
+        raise ValueError(f"unknown mid {mid!r}: expected 'time' or 'cols'")
+    tm_mid = mid == "time"
     w2a, Sa, _ = _ana_grouped_weights(w_ana, M, G, False, x.dtype)
     Ua = -(-T_ana // G)
     ga = _grouped_matmul_conv(x[:, 0, :], w2a, Sa, Ua, tile, interpret,
                               layout="time",
+                              out_layout="wave" if tm_mid else "rows",
                               mxu_precision=mxu_precision, scheme=scheme)
 
     # the last group's rows past T_ana hold edge-conv values (the
@@ -661,13 +694,16 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     # path trims them and re-pads with true zeros — zero them here
     rem = T_ana - (Ua - 1) * G
     if rem < G:
-        ga = ga.at[:, rem * M:, Ua - 1].set(0.0)
+        ga = (ga.at[:, Ua - 1, rem * M:].set(0.0) if tm_mid
+              else ga.at[:, rem * M:, Ua - 1].set(0.0))
 
     v2, Ss, _ = _syn_grouped_weights(w_syn, G, False, 0, x.dtype)
-    ga = jnp.pad(ga, ((0, 0), (0, 0), (pl_ // G, 0)))
+    ga = jnp.pad(ga, ((0, 0), (pl_ // G, 0), (0, 0)) if tm_mid
+                 else ((0, 0), (0, 0), (pl_ // G, 0)))
     T_out = pl_ + T_ana + pr_ - Ks + 1
     Us = -(-T_out // G)
-    z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret, layout="cols",
+    z = _grouped_matmul_conv(ga, v2, Ss, Us, tile, interpret,
+                             layout="time_cols" if tm_mid else "cols",
                              mxu_precision=mxu_precision, out_layout="wave",
                              scheme=scheme)
     # wave rows (u, (r, c)) ARE time-major samples: free reshape
