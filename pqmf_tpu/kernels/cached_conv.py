@@ -199,6 +199,47 @@ def _grouped_acc_kernel(x_hbm, w_ref, out_ref, xw2, sem2, *, S, L, Tt, nt,
     out_ref[:] = (jnp.swapaxes(acc, 0, 1) if wave else acc)[None]
 
 
+def _slice_dots(xw, wt, L, S, Tt, prec, off=0):
+    """The slice scheme's dot sequence: ``acc[Tt, Q] = sum_l
+    xw[off+l : off+l+Tt, :] @ wt[l*S:(l+1)*S, :]`` at the named
+    precision tier. Sublane-shifted operands are free on this chip
+    (tools/mxu_floor2.py); for bf16x3 the operand split is hoisted to
+    one whole-window pass (same-window wash vs per-slice, but strictly
+    less VPU work — tools/ab_split.py)."""
+    dn = (((1,), (0,)), ((), ()))
+    if prec in ("bf16x3", "high"):
+        wh, wl = _split_bf16(wt)
+        if _SPLIT_WINDOW_ONCE:
+            xwh, xwl = _split_bf16(xw)
+        acc = None
+        for l in range(L):
+            if _SPLIT_WINDOW_ONCE:
+                ah = xwh[off + l:off + l + Tt, :]
+                al = xwl[off + l:off + l + Tt, :]
+            else:
+                ah, al = _split_bf16(xw[off + l:off + l + Tt, :])
+            whb = wh[l * S:(l + 1) * S, :]
+            wlb = wl[l * S:(l + 1) * S, :]
+            y = (jax.lax.dot_general(ah, whb, dn,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(ah, wlb, dn,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(al, whb, dn,
+                                       preferred_element_type=jnp.float32))
+            acc = y if acc is None else acc + y
+        return acc
+    acc = None
+    for l in range(L):
+        y = jax.lax.dot_general(
+            xw[off + l:off + l + Tt, :], wt[l * S:(l + 1) * S, :],
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[prec],
+        )
+        acc = y if acc is None else acc + y
+    return acc
+
+
 def _grouped_slice_kernel(x_hbm, wt_ref, out_ref, xw2, sem2, *, S, L, Tt,
                           nt, prec, tm, wave):
     """Row-sliced variant of :func:`_grouped_acc_kernel` (the round-3
@@ -219,40 +260,7 @@ def _grouped_slice_kernel(x_hbm, wt_ref, out_ref, xw2, sem2, *, S, L, Tt,
     else:
         slot = _dma_window(x_hbm, b, i, Tt, xw2, sem2, nt)
         xw = jnp.swapaxes(xw2[slot], 0, 1)  # one transpose, zero rolls
-    dn = (((1,), (0,)), ((), ()))
-    if prec in ("bf16x3", "high"):
-        wh, wl = _split_bf16(wt_ref[:])
-        if _SPLIT_WINDOW_ONCE:
-            # split the WHOLE window once — the L per-tap slices overlap
-            # by Tt-128 rows each, so splitting them individually
-            # re-splits the same data ~L*Tt/win (≈4.7x at L=5) times
-            xwh, xwl = _split_bf16(xw)
-        acc = None
-        for l in range(L):
-            if _SPLIT_WINDOW_ONCE:
-                ah = xwh[l:l + Tt, :]
-                al = xwl[l:l + Tt, :]
-            else:
-                ah, al = _split_bf16(xw[l:l + Tt, :])
-            whb = wh[l * S:(l + 1) * S, :]
-            wlb = wl[l * S:(l + 1) * S, :]
-            y = (jax.lax.dot_general(ah, whb, dn,
-                                     preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(ah, wlb, dn,
-                                       preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(al, whb, dn,
-                                       preferred_element_type=jnp.float32))
-            acc = y if acc is None else acc + y
-    else:
-        acc = None
-        for l in range(L):
-            y = jax.lax.dot_general(
-                xw[l:l + Tt, :], wt_ref[l * S:(l + 1) * S, :],
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=_PRECISIONS[prec],
-            )
-            acc = y if acc is None else acc + y
+    acc = _slice_dots(xw, wt_ref[:], L, S, Tt, prec)
     out_ref[:] = (acc if wave else jnp.swapaxes(acc, 0, 1))[None]
 
 
@@ -616,6 +624,145 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
     return jnp.swapaxes(out[:, :, :T_out], 1, 2)  # [B, T_out, M]
 
 
+def _fused_rt_kernel(x_hbm, wa_ref, ws_ref, out_ref, xw2, ring, synw, sem2,
+                     *, La, Ls, Tt, nt_a, nt_s, prec, pl_g, base,
+                     Ua_last, remM):
+    """Whole round trip in ONE pallas_call (tools/mxu_floor3.py found
+    the two-call residual = XLA glue copies + the mid's HBM round trip
+    + a second kernel launch, all precision-independent).
+
+    Grid step (b, i): analysis tile i -> a 3-slot VMEM ring; synthesis
+    tile j = i-1 assembles its halo window from ring slots j-1, j, j+1
+    (the one computed THIS step) — the sub-band intermediate never
+    touches HBM, and the composed path's mid trim / last-group zeroing
+    / left pad become in-kernel masks and index shifts. ``base`` aligns
+    the window's big middle copy to the f32 sublane tile
+    ((base + pl_g) % 8 == 0); the dots read logical row r at physical
+    row base + r (sublane-shifted reads are free, tools/mxu_floor2.py).
+    Tile lifetime: tile t is last read by synthesis window t+1 at step
+    t+2; its slot is rewritten at step t+3."""
+    S = 128
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i < nt_a)
+    def _():
+        slot = _dma_window_tm(x_hbm, b, i, Tt, xw2, sem2, nt_a)
+        acc = _slice_dots(xw2[slot], wa_ref[:], La, S, Tt, prec)
+        # the composed path trims the analysis output at Ua rows and
+        # zeros the partial last group's columns; same, in-register
+        ri = jax.lax.broadcasted_iota(jnp.int32, (Tt, S), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (Tt, S), 1)
+        bad = (ri >= Ua_last) | ((ri == Ua_last - 1) & (ci >= remM))
+        acc = jnp.where((i == nt_a - 1) & bad, 0.0, acc)
+        ring[jax.lax.rem(i, 3)] = acc
+
+    @pl.when((i >= 1) & (i <= nt_s))
+    def _():
+        j = i - 1
+        # assemble the synthesis window: logical rows [0, Tt+128) =
+        # left-padded mid rows [j*Tt, j*Tt + Tt + 128), i.e. mid rows
+        # shifted by -pl_g, with out-of-range rows zero
+        if pl_g:
+            @pl.when(j >= 1)
+            def _():
+                synw[base:base + pl_g] = \
+                    ring[jax.lax.rem(j - 1, 3)][Tt - pl_g:]
+
+            @pl.when(j == 0)
+            def _():
+                synw[base:base + pl_g] = jnp.zeros((pl_g, S), synw.dtype)
+
+        @pl.when(j < nt_a)
+        def _():
+            synw[base + pl_g:base + pl_g + Tt] = ring[jax.lax.rem(j, 3)][:]
+
+        @pl.when(j >= nt_a)
+        def _():
+            synw[base + pl_g:base + pl_g + Tt] = \
+                jnp.zeros((Tt, S), synw.dtype)
+
+        tail = 128 - pl_g
+        if tail:
+            @pl.when(j + 1 < nt_a)
+            def _():
+                synw[base + pl_g + Tt:] = \
+                    ring[jax.lax.rem(j + 1, 3)][0:tail]
+
+            @pl.when(j + 1 >= nt_a)
+            def _():
+                synw[base + pl_g + Tt:] = jnp.zeros((tail, S), synw.dtype)
+
+        acc = _slice_dots(synw[:], ws_ref[:], Ls, S, Tt, prec, off=base)
+        out_ref[:] = acc[None]
+
+
+def _fused_roundtrip_single(x, w_ana, w_syn, M, syn_pad, tile, interpret,
+                            prec):
+    """Driver for :func:`_fused_rt_kernel` — same contract as the
+    two-call body of :func:`fused_roundtrip_conv` (slice scheme),
+    bit-identical to it (same dot operands in the same order)."""
+    B, _, Tpad = x.shape
+    Ka = w_ana.shape[-1]
+    Ks = w_syn.shape[-1]
+    G = 128 // M
+    pl_, pr_ = syn_pad
+    T_ana = (Tpad - Ka) // M + 1
+    Ua = -(-T_ana // G)
+    T_out = pl_ + T_ana + pr_ - Ks + 1
+    Us = -(-T_out // G)
+    S = 128
+    w2a, Sa, La = _ana_grouped_weights(w_ana, M, G, False, x.dtype)
+    v2, Ss, Ls = _syn_grouped_weights(w_syn, G, False, 0, x.dtype)
+    Qa, Qs = w2a.shape[0], v2.shape[0]
+    wa = jnp.transpose(w2a.reshape(Qa, La, Sa),
+                       (1, 2, 0)).reshape(La * Sa, Qa)
+    ws = jnp.transpose(v2.reshape(Qs, Ls, Ss),
+                       (1, 2, 0)).reshape(Ls * Ss, Qs)
+    Tt = int(min(tile, max(128, 1 << (max(Ua, Us) - 1).bit_length())))
+    nt_a, nt_s = -(-Ua // Tt), -(-Us // Tt)
+    win = Tt + 128
+    cols = (nt_a - 1) * Tt + win
+    need = cols * S
+    xr = x[:, 0, :]
+    xr = (jnp.pad(xr, ((0, 0), (0, need - Tpad))) if need > Tpad
+          else xr[:, :need])
+    xp = xr.reshape(B, cols, S)
+    pl_g = pl_ // G
+    base = (8 - pl_g % 8) % 8
+    rem = T_ana - (Ua - 1) * G
+    Ua_last = Ua - (nt_a - 1) * Tt
+    remM = rem * M if rem < G else S
+    out = pl.pallas_call(
+        functools.partial(_fused_rt_kernel, La=La, Ls=Ls, Tt=Tt,
+                          nt_a=nt_a, nt_s=nt_s, prec=prec, pl_g=pl_g,
+                          base=base, Ua_last=Ua_last, remM=remM),
+        grid=(B, max(nt_a, nt_s + 1)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((La * Sa, Qa), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ls * Ss, Qs), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Tt, Qs),
+                               lambda b, i: (b, jnp.maximum(i - 1, 0), 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nt_s * Tt, Qs), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, S), x.dtype),
+            pltpu.VMEM((3, Tt, S), x.dtype),
+            pltpu.VMEM((base + win, S), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_should_interpret(interpret),
+    )(xp, wa, ws)
+    z = out[:, :Us, :]
+    return z.reshape(B, Us * G, M)[:, :T_out, :]
+
+
 def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
     """The grouped pass-through round trip needs the time-grouped scheme
     on both convs and a group-aligned synthesis left pad."""
@@ -627,10 +774,11 @@ def fused_roundtrip_supported(M: int, syn_pad_left: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("M", "syn_pad", "tile", "interpret",
-                                    "mxu_precision", "scheme", "mid"))
+                                    "mxu_precision", "scheme", "mid",
+                                    "calls"))
 def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
                          interpret=None, mxu_precision="highest",
-                         scheme="slice", mid="time"):
+                         scheme="slice", mid="time", calls="single"):
     """Analysis -> synthesis round trip with the sub-bands kept in the
     time-grouped layout in between.
 
@@ -665,6 +813,17 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
     per-window VMEM transpose both vanish (the dot operands are
     identical, so each scheme's output is bit-identical to mid="cols",
     the round-2 layout kept for A/B: tools/ab_mid.py).
+
+    ``calls="single"`` (the default; slice scheme only, else the
+    two-call body runs) fuses the whole round trip into ONE pallas_call
+    (:func:`_fused_rt_kernel`): the sub-band intermediate lives in a
+    VMEM ring instead of HBM and the XLA glue between the kernels (mid
+    trim/zero/left-pad copy passes) becomes in-kernel index math — same
+    dot operands in the same order, so the output is bit-identical to
+    ``calls="two"`` (asserted on chip and in tests). Measured 1.02-1.03x
+    over two calls, same window, both tiers (tools/ab_calls.py) — the
+    mid's HBM round trip was largely hidden by the DMA pipeline, so the
+    win is the glue pass + launch, not bandwidth.
     """
     B, _, Tpad = x.shape
     Mb, _, Ka = w_ana.shape
@@ -681,6 +840,12 @@ def fused_roundtrip_conv(x, w_ana, w_syn, M, syn_pad, tile=2048,
 
     if mid not in ("time", "cols"):
         raise ValueError(f"unknown mid {mid!r}: expected 'time' or 'cols'")
+    if calls not in ("single", "two"):
+        raise ValueError(f"unknown calls {calls!r}: expected 'single' or "
+                         f"'two'")
+    if calls == "single" and scheme == "slice" and 0 <= pl_ // G <= 128:
+        return _fused_roundtrip_single(x, w_ana, w_syn, M, syn_pad, tile,
+                                       interpret, mxu_precision)
     tm_mid = mid == "time"
     w2a, Sa, _ = _ana_grouped_weights(w_ana, M, G, False, x.dtype)
     Ua = -(-T_ana // G)

@@ -143,6 +143,36 @@ def test_fused_roundtrip_matches_composition(n_band):
             np.asarray(sp.inverse(sp.forward(x))))
 
 
+@pytest.mark.parametrize("n_band", [8, 16, 32])
+def test_single_call_roundtrip_matches_two_call(n_band):
+    """calls="single" (one pallas_call, VMEM-ring intermediate) is
+    bit-identical to calls="two": same dot operands in the same order;
+    the mid trim/zero/pad glue is replaced by in-kernel masks. Covers
+    partial last groups, multi-tile rings (tile=256 forces nt>1 so the
+    ring wraps), and batch/channel folding."""
+    from pqmf_tpu.kernels.cached_conv import fused_roundtrip_conv
+    from pqmf_tpu.streaming import StreamingPQMF, centered_padding
+
+    rng = np.random.default_rng(21)
+    G = 128 // n_band
+    sp = StreamingPQMF(70, n_band, use_pallas=True)
+    Ka, Ks = sp.hkf.shape[-1], sp.hki.shape[-1]
+    al, ar = centered_padding(Ka, n_band)
+    sl, sr = centered_padding(Ks, 1)
+    pads = (-(-sl // G) * G, sr)  # group-aligned left pad (the gate)
+    for T in (256 * n_band, (128 * G + 3) * n_band):
+        x = rng.standard_normal((2, 1, T)).astype(np.float32)
+        xx = jnp.pad(jnp.asarray(x), ((0, 0), (0, 0), (al, ar)))
+        for prec in ("highest", "bf16x3"):
+            two = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band, pads,
+                                       tile=256, mxu_precision=prec,
+                                       calls="two")
+            one = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band, pads,
+                                       tile=256, mxu_precision=prec,
+                                       calls="single")
+            np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+
 def test_roundtrip_falls_back_off_pallas_and_on_mesh():
     """Configurations outside the fused path still answer through the
     composition (lax path; band-sharded mesh)."""
