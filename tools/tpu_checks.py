@@ -79,6 +79,24 @@ def main():
                 float(jnp.abs(ppq.roundtrip(x)
                               - ppq.inverse(ppq.forward(x))).max()), 5e-6)
 
+    # single-call (VMEM-ring) fused roundtrip is BIT-identical to the
+    # two-call body on native Mosaic (same dot operands, same order)
+    from pqmf_tpu.kernels import cached_conv as cc
+    from pqmf_tpu.streaming import centered_padding
+
+    sl_, sr2 = centered_padding(palq.hki.shape[-1], 1)
+    al_, ar_ = centered_padding(palq.hkf.shape[-1], 16)
+    xxp = jnp.pad(x, ((0, 0), (0, 0), (al_, ar_)))
+    for prec in ("highest", "bf16x3"):
+        one = cc.fused_roundtrip_conv(xxp, palq.hkf, palq.hki, 16,
+                                      (sl_, sr2), mxu_precision=prec,
+                                      calls="single")
+        two = cc.fused_roundtrip_conv(xxp, palq.hkf, palq.hki, 16,
+                                      (sl_, sr2), mxu_precision=prec,
+                                      calls="two")
+        ok &= check(f"single-call roundtrip bit==two-call ({prec})",
+                    float(jnp.abs(one - two).max()), 0.0)
+
     # the committed fine-tuned bank beats the designed reconstruction
     # natively on the chip (README "beating the design")
     from pqmf_tpu.parallel.training import load_pretrained_bank
