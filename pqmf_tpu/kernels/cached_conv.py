@@ -343,7 +343,7 @@ def _grouped_matmul_conv(x, w2, S, U, tile, interpret, layout="flat",
         kern,
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             w_spec,
         ],
         out_specs=out_spec,
@@ -468,7 +468,7 @@ def strided_analysis_conv(x, w, M, tile=2048, interpret=None,
                           prec=mxu_precision),
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((Mb_pad, L * M), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -607,7 +607,7 @@ def dense_synthesis_conv(x, w, tile=2048, interpret=None, fuse_mask=True,
             prec=mxu_precision),
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((M, L * Mb_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -739,7 +739,7 @@ def _fused_roundtrip_single(x, w_ana, w_syn, M, syn_pad, tile, interpret,
                           base=base, Ua_last=Ua_last, remM=remM),
         grid=(B, max(nt_a, nt_s + 1)),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((La * Sa, Qa), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Ls * Ss, Qs), lambda b, i: (0, 0),

@@ -159,18 +159,24 @@ def test_single_call_roundtrip_matches_two_call(n_band):
     Ka, Ks = sp.hkf.shape[-1], sp.hki.shape[-1]
     al, ar = centered_padding(Ka, n_band)
     sl, sr = centered_padding(Ks, 1)
-    pads = (-(-sl // G) * G, sr)  # group-aligned left pad (the gate)
+    # pad variants cover the kernel's window-alignment cases: the
+    # production-like aligned left pad (base > 0), no left pad
+    # (pl_g == 0), and an 8-row-aligned left pad (base == 0)
+    pad_list = [(-(-sl // G) * G, sr), (0, sl + sr), (8 * G, sr)]
     for T in (256 * n_band, (128 * G + 3) * n_band):
         x = rng.standard_normal((2, 1, T)).astype(np.float32)
         xx = jnp.pad(jnp.asarray(x), ((0, 0), (0, 0), (al, ar)))
-        for prec in ("highest", "bf16x3"):
-            two = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band, pads,
-                                       tile=256, mxu_precision=prec,
-                                       calls="two")
-            one = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band, pads,
-                                       tile=256, mxu_precision=prec,
-                                       calls="single")
-            np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+        for pads in pad_list:
+            for prec in ("highest", "bf16x3"):
+                two = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band,
+                                           pads, tile=256,
+                                           mxu_precision=prec, calls="two")
+                one = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band,
+                                           pads, tile=256,
+                                           mxu_precision=prec,
+                                           calls="single")
+                np.testing.assert_array_equal(np.asarray(one),
+                                              np.asarray(two))
 
 
 def test_roundtrip_falls_back_off_pallas_and_on_mesh():
