@@ -60,6 +60,11 @@ _FRAMES_VMEM_BYTES = 4 << 20
 # fresh jax.jit closures — production callers always see the default
 _SPLIT_WINDOW_ONCE = True
 
+# trace-time probe switch: False skips the single-call kernel's synthesis
+# window-assembly copies (output becomes garbage; timing isolates the
+# assembly cost). Flipped only by tools/ab_asm.py between fresh jits.
+_ASSEMBLE = True
+
 # MXU pass count for the in-kernel dots (measured on the 60 s fused
 # roundtrip: dots ~45 us/pass + ~0.21 ms pass-independent window/roll
 # overhead):
@@ -663,7 +668,7 @@ def _fused_rt_kernel(x_hbm, wa_ref, ws_ref, out_ref, xw2, ring, synw, sem2,
         # assemble the synthesis window: logical rows [0, Tt+128) =
         # left-padded mid rows [j*Tt, j*Tt + Tt + 128), i.e. mid rows
         # shifted by -pl_g, with out-of-range rows zero
-        if pl_g:
+        if pl_g and _ASSEMBLE:
             @pl.when(j >= 1)
             def _():
                 synw[base:base + pl_g] = \
@@ -673,17 +678,24 @@ def _fused_rt_kernel(x_hbm, wa_ref, ws_ref, out_ref, xw2, ring, synw, sem2,
             def _():
                 synw[base:base + pl_g] = jnp.zeros((pl_g, S), synw.dtype)
 
-        @pl.when(j < nt_a)
-        def _():
-            synw[base + pl_g:base + pl_g + Tt] = ring[jax.lax.rem(j, 3)][:]
+        if _ASSEMBLE:
+            @pl.when(j < nt_a)
+            def _():
+                synw[base + pl_g:base + pl_g + Tt] = \
+                    ring[jax.lax.rem(j, 3)][:]
 
-        @pl.when(j >= nt_a)
-        def _():
-            synw[base + pl_g:base + pl_g + Tt] = \
-                jnp.zeros((Tt, S), synw.dtype)
+            @pl.when(j >= nt_a)
+            def _():
+                synw[base + pl_g:base + pl_g + Tt] = \
+                    jnp.zeros((Tt, S), synw.dtype)
+
+        if not _ASSEMBLE:
+            # keep the ring live (one row) so the analysis arm can't be
+            # dead-code-eliminated out of the probe's False arm
+            synw[base:base + 1] = ring[jax.lax.rem(j, 3)][:1]
 
         tail = 128 - pl_g
-        if tail:
+        if tail and _ASSEMBLE:
             @pl.when(j + 1 < nt_a)
             def _():
                 synw[base + pl_g + Tt:] = \
