@@ -217,9 +217,11 @@ def load_artifact(path: str):
             f"may differ from the exported one", stacklevel=2)
 
     precision = cfg.get("precision", "highest")
-    # old (pre-round-3) artifacts lack the key: keep each class's default
-    mbs_kw = ({"max_buffer_size": cfg["max_buffer_size"]}
-              if "max_buffer_size" in cfg else {})
+    # old (pre-round-3) artifacts lack the key: they declared NO limit,
+    # so restore with None — falling back to the class default instead
+    # would make any old artifact whose m_buffer_size exceeds it raise
+    # at construction (the guard runs in __init__), i.e. unloadable
+    mbs_kw = {"max_buffer_size": cfg.get("max_buffer_size")}
     if kind == "PQMFWrapper":
         wrapper = PQMFWrapper.__new__(PQMFWrapper)
         _init_wrapper_from_weights(wrapper, cfg, weights, manifest,

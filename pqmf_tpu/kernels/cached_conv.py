@@ -669,12 +669,15 @@ def _fused_rt_kernel(x_hbm, wa_ref, ws_ref, out_ref, xw2, ring, synw, sem2,
         # left-padded mid rows [j*Tt, j*Tt + Tt + 128), i.e. mid rows
         # shifted by -pl_g, with out-of-range rows zero
         if pl_g and _ASSEMBLE:
-            @pl.when(j >= 1)
+            # tile j-1 exists only for 1 <= j <= nt_a (tile nt_a-1's
+            # rows past Ua_last were zero-masked at write time); past
+            # that the ring slot was never written — must be zeros
+            @pl.when((j >= 1) & (j <= nt_a))
             def _():
                 synw[base:base + pl_g] = \
                     ring[jax.lax.rem(j - 1, 3)][Tt - pl_g:]
 
-            @pl.when(j == 0)
+            @pl.when((j == 0) | (j > nt_a))
             def _():
                 synw[base:base + pl_g] = jnp.zeros((pl_g, S), synw.dtype)
 

@@ -20,7 +20,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+
+try:  # optional: only the optimizer steps need it, not bank loading
+    import optax
+except ImportError:  # pragma: no cover - exercised on minimal installs
+    optax = None
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pqmf_tpu.ops import filterbank as fb
@@ -127,6 +131,14 @@ def make_finetune_loss(n_band: int, n_taps: int, trim: int | None = None,
     return loss_fn
 
 
+def _require_optax():
+    if optax is None:
+        raise ImportError(
+            "optax is required for filterbank training/fine-tuning "
+            "(pip install optax, or pqmf-tpu[train]); loading committed "
+            "pretrained banks does not need it")
+
+
 def make_train_step(optimizer=None, mesh: Mesh | None = None,
                     precision: str = "highest", remat: bool = False,
                     loss_fn=None):
@@ -138,6 +150,7 @@ def make_train_step(optimizer=None, mesh: Mesh | None = None,
     for long audio batches near the HBM limit. ``loss_fn(hk, x,
     precision)`` defaults to the plain :func:`reconstruction_loss`; pass
     :func:`make_finetune_loss`'s result for quality fine-tuning."""
+    _require_optax()
     if optimizer is None:
         optimizer = optax.adam(1e-4)
 
@@ -210,6 +223,7 @@ def finetune_filterbank(attenuation: float, n_band: int, steps: int = 2000,
     count — at M=16 it lifts the constant-lr result a further
     84.4 -> 98.1 dB on flute.
     """
+    _require_optax()
     base = fb.build_filterbank(attenuation, n_band)
     hk0 = jnp.asarray(base["hk"])
     if length <= 2 * hk0.shape[-1]:

@@ -408,6 +408,9 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         if not (x.ndim == 3 and x.shape[1] == self.n_band):
             raise ValueError(
                 f"input must be [batch, {self.n_band}, T']")
+        _check_buffer(x.shape[-1] * self.n_band, self.n_band,
+                      self.max_buffer_size, what="sub-band signal",
+                      check_multiple=False)
         return self.pqmf.inverse(x)
 
     def _plan(self, Tb: int):
@@ -446,8 +449,10 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         """Pure round-trip (reference ``forward``, :303-316) -> [B, T].
 
         Routed through ``StreamingPQMF.roundtrip`` — the grouped-layout
-        fused program when supported (bit-identical to
-        ``inverse(decompose(x))``, ~1.5x faster on chip)."""
+        fused program when supported (equal to ``inverse(decompose(x))``
+        to f32 rounding on chip — the default slice scheme's transposed
+        dots round differently at ~2e-7; bit-exact on CPU — and ~1.5x
+        faster on chip)."""
         x = jnp.asarray(x)
         if x.ndim == 2:
             x = x[None]

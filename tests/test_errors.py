@@ -66,6 +66,8 @@ def test_max_buffer_size_is_enforced():
         wf.pitchshift_fn(wf.init_state(), big)
     with pytest.raises(ValueError, match="max_buffer_size"):
         wf.forward_fn(big)
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        wf.inverse(np.zeros((1, 8, 32768 // 8), np.float32))
 
     wt = PQMFPitchShiftWrapperTA(70, 8, 256)
     with pytest.raises(ValueError, match="max_buffer_size"):

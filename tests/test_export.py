@@ -30,6 +30,26 @@ def test_pqmf_wrapper_artifact_roundtrip(tmp_path):
                                   np.asarray(loaded.forward(x)))
 
 
+def test_old_artifact_without_buffer_limit_still_loads(tmp_path):
+    """Pre-round-3 artifacts carry no max_buffer_size key: they declared
+    no limit, so load_artifact must restore them with None — NOT the
+    class default, which is smaller than this m_buffer_size and would
+    make the previously working artifact raise at construction."""
+    w = PQMFWrapper(100, 16, 32768, max_buffer_size=None)
+    path = save_artifact(w, str(tmp_path / "old"))
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    del manifest["config"]["max_buffer_size"]  # simulate the old format
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    loaded, _ = load_artifact(path)
+    assert loaded.max_buffer_size is None
+    x = np.zeros((1, 32768), np.float32)
+    assert np.asarray(loaded.forward(x)).shape == (1, 16, 2048)
+
+
 def test_pvoc_artifact_roundtrip_with_state(tmp_path):
     w = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
     rng = np.random.default_rng(1)
@@ -179,14 +199,18 @@ def test_max_buffer_size_survives_artifact_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="max_buffer_size=4096"):
         loaded2.process(np.zeros((1, 1, 8192), np.float32))
 
-    # old artifacts without the key keep the class default
+    # old artifacts without the key declared no limit: restore None, not
+    # the class default (which would reject whole files the artifact
+    # used to process — and refuse to load at all when its
+    # m_buffer_size exceeds the default; see
+    # test_old_artifact_without_buffer_limit_still_loads)
     path = save_artifact(PQMFWrapper(100, 8, 1024), str(tmp_path / "c"))
     mpath = os.path.join(path, "manifest.json")
     manifest = json.load(open(mpath))
     del manifest["config"]["max_buffer_size"]
     json.dump(manifest, open(mpath, "w"))
     loaded3, _ = load_artifact(path)
-    assert loaded3.max_buffer_size == 16384
+    assert loaded3.max_buffer_size is None
 
 
 def test_unknown_config_key_warns(tmp_path):

@@ -179,6 +179,33 @@ def test_single_call_roundtrip_matches_two_call(n_band):
                                               np.asarray(two))
 
 
+def test_single_call_roundtrip_tail_tiles_past_analysis():
+    """Synthesis tiles past the analysis range (nt_s >= nt_a + 3, via a
+    huge synthesis right pad at tile=128) must see zero mid rows, not a
+    VMEM ring slot. Regression: the left-halo copy used to read
+    ring[(j-1) % 3] for every j >= 1 with no j <= nt_a guard, so tile
+    j = nt_a + 3 re-read tile 0's STALE slot (and j = nt_a + 1, + 2 read
+    never-written VMEM, zeros only by accident in interpret mode)."""
+    from pqmf_tpu.kernels.cached_conv import fused_roundtrip_conv
+    from pqmf_tpu.streaming import StreamingPQMF, centered_padding
+
+    rng = np.random.default_rng(33)
+    n_band = 16
+    G = 128 // n_band
+    sp = StreamingPQMF(70, n_band, use_pallas=True)
+    Ka = sp.hkf.shape[-1]
+    al, ar = centered_padding(Ka, n_band)
+    x = rng.standard_normal((1, 1, 256 * n_band)).astype(np.float32)
+    xx = jnp.pad(jnp.asarray(x), ((0, 0), (0, 0), (al, ar)))
+    pads = (G, 4096)  # pl_g == 1; nt_a = 1 but nt_s >= 4 at tile=128
+    kw = dict(tile=128, mxu_precision="highest")
+    two = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band, pads,
+                               calls="two", **kw)
+    one = fused_roundtrip_conv(xx, sp.hkf, sp.hki, n_band, pads,
+                               calls="single", **kw)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+
 def test_roundtrip_falls_back_off_pallas_and_on_mesh():
     """Configurations outside the fused path still answer through the
     composition (lax path; band-sharded mesh)."""

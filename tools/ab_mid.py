@@ -61,9 +61,12 @@ def main():
             for mid in ("cols", "time"):
                 def fn(v, *, prec=prec, tile=tile, mid=mid,
                        w_a=w_a, w_s=w_s):
+                    # calls="two" explicitly: the single-call default
+                    # ignores `mid` entirely (VMEM-ring intermediate),
+                    # which would make both arms the identical program
                     out = cc.fused_roundtrip_conv(
                         v, w_a, w_s, M, pads, tile=tile,
-                        mxu_precision=prec, mid=mid)
+                        mxu_precision=prec, mid=mid, calls="two")
                     # [B, T_out, M] time-major -> wave is a free reshape
                     flat = out.reshape(1, 1, -1)
                     return jnp.pad(flat, ((0, 0), (0, 0),

@@ -38,8 +38,12 @@ def main():
 
     def rt(prec, scheme):
         def f(v):
+            # calls="two" pins BOTH arms to the two-call body: the
+            # default calls="single" only exists for scheme="slice", so
+            # leaving it would conflate scheme with call count
             out = cc.fused_roundtrip_conv(v, sp.hkf, sp.hki, M, (sl, sr),
-                                          mxu_precision=prec, scheme=scheme)
+                                          mxu_precision=prec, scheme=scheme,
+                                          calls="two")
             return jnp.pad(
                 jnp.swapaxes(out, 1, 2).reshape(1, 1, -1),
                 ((0, 0), (0, 0), (0, xx.shape[-1] - out.shape[1] * M)))

@@ -97,6 +97,18 @@ def main():
         ok &= check(f"single-call roundtrip bit==two-call ({prec})",
                     float(jnp.abs(one - two).max()), 0.0)
 
+    # tail synthesis tiles past the analysis range (nt_s >= nt_a + 3 via
+    # a huge right pad at tile=128) must read zeros, not VMEM ring slots
+    # — on real hardware the skipped slot holds genuine garbage, so this
+    # is the NATIVE version of the interpret-mode regression test
+    xs_ = xxp[:1, :, : 256 * 16 + al_ + ar_]
+    one = cc.fused_roundtrip_conv(xs_, palq.hkf, palq.hki, 16,
+                                  (8, 4096), tile=128, calls="single")
+    two = cc.fused_roundtrip_conv(xs_, palq.hkf, palq.hki, 16,
+                                  (8, 4096), tile=128, calls="two")
+    ok &= check("single-call tail tiles past analysis == two-call",
+                float(jnp.abs(one - two).max()), 0.0)
+
     # the committed fine-tuned bank beats the designed reconstruction
     # natively on the chip (README "beating the design")
     from pqmf_tpu.parallel.training import load_pretrained_bank
