@@ -118,7 +118,7 @@ def test_ungrouped_fallback_m128_matches_lax():
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32])
+@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
 def test_fused_roundtrip_matches_composition(n_band):
     """The grouped pass-through round trip (kernels.cached_conv.
     fused_roundtrip_conv — no re-interleave transposes, reverse_half
@@ -143,7 +143,7 @@ def test_fused_roundtrip_matches_composition(n_band):
             np.asarray(sp.inverse(sp.forward(x))))
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32])
+@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
 def test_single_call_roundtrip_matches_two_call(n_band):
     """calls="single" (one pallas_call, VMEM-ring intermediate) is
     bit-identical to calls="two": same dot operands in the same order;
