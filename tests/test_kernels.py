@@ -206,6 +206,40 @@ def test_single_call_roundtrip_tail_tiles_past_analysis():
     np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
 
 
+def test_single_call_roundtrip_pad_geometry_fuzz():
+    """Property: calls="single" == calls="two" bit-exactly for RANDOM
+    (left, right) synthesis pads — the single-call kernel re-derives the
+    two-call path's mid trim/zero/left-pad glue as in-kernel index math,
+    and every pad regime (pl_g 0..128, tail tiles past the analysis
+    range, partial last groups) must agree. This is the generalization
+    of the tail-tile regression above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pqmf_tpu.kernels.cached_conv import fused_roundtrip_conv
+
+    M, G, Ka, Ks = 16, 8, 65, 33
+    rng = np.random.default_rng(7)
+    w_ana = jnp.asarray(rng.standard_normal((M, 1, Ka)).astype(np.float32))
+    w_syn = jnp.asarray(
+        rng.standard_normal((M, M, Ks)).astype(np.float32) * 0.1)
+    x = jnp.asarray(
+        rng.standard_normal((1, 1, 128 * M + Ka - 1)).astype(np.float32))
+
+    @settings(max_examples=10, deadline=None)
+    @given(pl_g=st.integers(min_value=0, max_value=128),
+           pr=st.integers(min_value=0, max_value=1500))
+    def run(pl_g, pr):
+        pads = (pl_g * G, pr)
+        two = fused_roundtrip_conv(x, w_ana, w_syn, M, pads, tile=128,
+                                   calls="two")
+        one = fused_roundtrip_conv(x, w_ana, w_syn, M, pads, tile=128,
+                                   calls="single")
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+    run()
+
+
 def test_roundtrip_falls_back_off_pallas_and_on_mesh():
     """Configurations outside the fused path still answer through the
     composition (lax path; band-sharded mesh)."""
