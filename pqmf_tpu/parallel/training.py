@@ -17,6 +17,8 @@ compiles and runs.
 from __future__ import annotations
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -272,8 +274,6 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
     - ``hk32_atten100_finetuned``: 93.6 / 79.9 / 100.5 dB
       (designed: 50.6 / 50.7 / 74.0 dB).
     """
-    import os
-
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                         "data", f"{name}.npz")
     if not os.path.exists(path):
@@ -288,8 +288,6 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
 def available_pretrained_banks() -> list[str]:
     """Names accepted by :func:`load_pretrained_bank` (the committed
     ``pqmf_tpu/data/*.npz`` artifacts)."""
-    import os
-
     data_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                             "data")
     return sorted(f[:-4] for f in os.listdir(data_dir)
