@@ -105,22 +105,9 @@ def build_filterbank(attenuation: float, n_band: int) -> dict:
     h = design.get_prototype(attenuation, n_band)
     h = h.astype(np.float32)
     hk = center_pad_next_pow_2(get_qmf_bank(h, n_band))
-    M, P = hk.shape
-    assert P % M == 0
-
-    # analysis: hk_poly[c, m, t] = hk[c, t*M + m]
-    hk_poly = hk.reshape(M, P // M, M).transpose(0, 2, 1)
-
-    # synthesis: flip time then hki[m, c, t] = hk_flip[c, t*M + m]
-    hk_flip = hk[:, ::-1]
-    hk_ipoly = hk_flip.reshape(M, P // M, M).transpose(2, 0, 1)
-
-    return {
-        "h": jnp.asarray(h),
-        "hk": jnp.asarray(hk),
-        "hk_poly": jnp.asarray(hk_poly),
-        "hk_ipoly": jnp.asarray(hk_ipoly.copy()),
-    }
+    # one source of truth for the polyphase rearrangements: designed and
+    # restored/fine-tuned banks must derive hk_poly/hk_ipoly identically
+    return params_from_hk(hk, h=h)
 
 
 def params_from_hk(hk, h=None) -> dict:

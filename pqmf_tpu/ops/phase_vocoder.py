@@ -17,6 +17,12 @@ Two stretch rules are provided:
 
 Both are shape-static: ``frames_out`` is passed explicitly so per-band
 pipelines can pad to a common maximum and mask.
+
+Frame selection is a one-hot MATMUL, not a gather: ``jnp.take`` over the
+minor axis with traced indices is the pattern this TPU executes ~100x too
+slow (see the TA banded resample / interpolate_linear_dynamic); selecting
+with an exact 0/1 matrix at HIGHEST precision is bit-identical (each
+output row sums exactly one ``x*1.0`` against zeros) and MXU-shaped.
 """
 
 from __future__ import annotations
@@ -71,16 +77,36 @@ def stretch_reference(mag: jax.Array, phase: jax.Array, rate: jax.Array,
     t1 = jnp.minimum(t0 + 1, frames - 1)
     a = (t_prime - t0.astype(mag.dtype))[None, None, :]
 
-    mag0 = jnp.take(mag, t0, axis=-1)
-    mag1 = jnp.take(mag, t1, axis=-1)
+    mag0, phi0 = _select_frames(mag, phase, t0)
+    mag1, phi1 = _select_frames(mag, phase, t1)
     mag_s = (1.0 - a) * mag0 + a * mag1
 
-    phi0 = jnp.take(phase, t0, axis=-1)
-    phi1 = jnp.take(phase, t1, axis=-1)
     om = omega[None, :, None]
     dp = principal_angle(phi1 - phi0 - om)
     phase_s = phi0 + om + a * dp
     return mag_s, phase_s
+
+
+# trace-time probe switch: True restores the jnp.take gathers the one-hot
+# select replaced. Flipped only by tools/ab_stretch_select.py between
+# fresh jits, for same-window A/Bs of the two lowerings.
+_USE_TAKE = False
+
+
+def _select_frames(p: jax.Array, q: jax.Array, idx: jax.Array):
+    """(p, q)[..., idx] along the minor frames axis via one one-hot
+    matmul (gather-free, bit-exact: 0/1 weights, HIGHEST precision;
+    exactly one x*1.0 per output against exact zeros). p, q: [B, F, T];
+    idx: [O] int32 in range -> ([B, F, O], [B, F, O])."""
+    if _USE_TAKE:
+        return jnp.take(p, idx, axis=-1), jnp.take(q, idx, axis=-1)
+    T = p.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], T), 1)
+    sel = (cols == idx[:, None]).astype(p.dtype)  # [O, T]
+    both = jnp.einsum("bft,ot->bfo", jnp.concatenate([p, q], axis=0), sel,
+                      precision=jax.lax.Precision.HIGHEST)
+    B = p.shape[0]
+    return both[:B], both[B:]
 
 
 @partial(jax.jit, static_argnames=("frames_out",))
@@ -101,16 +127,14 @@ def stretch_accumulate(re: jax.Array, im: jax.Array, rate: jax.Array,
     t = jnp.arange(frames_out, dtype=jnp.float32) * rate
     t0 = jnp.floor(t).astype(jnp.int32)
     alphas = (t - t0.astype(jnp.float32))[None, None, :]
-    # clamp into the padded spec (jnp.take fills out-of-bounds with NaN):
-    # a no-op for in-range stretches (j*rate < frames by construction), and
-    # required when frames_out is a shared padded maximum across bands
-    # whose excess frames are masked downstream
+    # clamp into the padded spec: a no-op for in-range stretches
+    # (j*rate < frames by construction), and required when frames_out is
+    # a shared padded maximum across bands whose excess frames are
+    # masked downstream
     t0 = jnp.minimum(t0, frames)
 
-    r0 = jnp.take(re_p, t0, axis=-1)
-    i0 = jnp.take(im_p, t0, axis=-1)
-    r1 = jnp.take(re_p, t0 + 1, axis=-1)
-    i1 = jnp.take(im_p, t0 + 1, axis=-1)
+    r0, i0 = _select_frames(re_p, im_p, t0)
+    r1, i1 = _select_frames(re_p, im_p, t0 + 1)
 
     angle_0 = jnp.arctan2(i0, r0)
     angle_1 = jnp.arctan2(i1, r1)

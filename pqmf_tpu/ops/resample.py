@@ -147,6 +147,11 @@ def banded_resample_plan(orig_freq: int, new_freq: int, n_out: int,
     read zeros, matching the conv's zero padding); rows past the caller's
     valid output length should be zeroed by the caller.
     """
+    if orig_freq == new_freq:
+        # identity plan, mirroring torchaudio's equal-rate short-circuit
+        # (and sinc_resample's): one unit tap per output row
+        return (np.ones((n_out, 1), np.float32),
+                np.arange(n_out, dtype=np.int32), 0)
     kernels, width, o, n = sinc_resample_kernel(
         orig_freq, new_freq, lowpass_filter_width, rolloff, window)
     kern = kernels[:, 0, :]  # [n, K], K = 2*width + o
@@ -180,6 +185,11 @@ def sinc_resample(x: jax.Array, orig_freq: int, new_freq: int,
 
     x: [B, T] -> [B, ceil(T * new/orig)].
     """
+    if orig_freq == new_freq:
+        # torchaudio short-circuits equal rates to identity BEFORE any
+        # filtering (functional.resample); without this the 0.99-rolloff
+        # lowpass would attenuate near-Nyquist content at ratio 1
+        return x
     kernels, width, o, n = sinc_resample_kernel(
         orig_freq, new_freq, lowpass_filter_width, rolloff, window)
     B, T = x.shape

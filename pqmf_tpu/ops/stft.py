@@ -68,6 +68,40 @@ def frame_count(T: int, n_fft: int, hop_length: int, center: bool = True) -> int
     return 1 + (T - n_fft) // hop_length
 
 
+def _center_pad(x: jax.Array, n_fft: int, pad_mode: str) -> jax.Array:
+    """torch.stft's center padding (n_fft//2 both sides); shared by the
+    complex and real-valued analysis paths so they cannot drift."""
+    pad = n_fft // 2
+    if pad_mode == "constant":
+        return jnp.pad(x, ((0, 0), (pad, pad)))
+    if pad_mode == "reflect":
+        return jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    raise ValueError(f"unsupported pad_mode {pad_mode}")
+
+
+def _trim_or_pad(out: jax.Array, total: int, center: bool,
+                 length: int | None, n_fft: int) -> jax.Array:
+    """torch.istft's length semantics, shared by the complex and
+    real-valued synthesis paths: center-trim by n_fft//2; with an
+    explicit ``length`` torch serves real OLA samples from the right
+    half-window region first, then zero-pads."""
+    if center:
+        trim = n_fft // 2
+        if length is None:
+            return out[:, trim: total - trim]
+        avail = min(length, total - trim)
+        out = out[:, trim: trim + avail]
+        if avail < length:
+            out = jnp.pad(out, ((0, 0), (0, length - avail)))
+        return out
+    if length is not None:
+        avail = min(length, total)
+        out = out[:, :avail]
+        if avail < length:
+            out = jnp.pad(out, ((0, 0), (0, length - avail)))
+    return out
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center",
                                    "normalized", "pad_mode"))
 def stft(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
@@ -80,13 +114,7 @@ def stft(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
     """
     B, T = x.shape
     if center:
-        pad = n_fft // 2
-        if pad_mode == "constant":
-            x = jnp.pad(x, ((0, 0), (pad, pad)))
-        elif pad_mode == "reflect":
-            x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-        else:
-            raise ValueError(f"unsupported pad_mode {pad_mode}")
+        x = _center_pad(x, n_fft, pad_mode)
     Tp = x.shape[-1]
     frames = 1 + (Tp - n_fft) // hop_length
     w = _padded_window(window, n_fft).astype(x.dtype)
@@ -110,25 +138,8 @@ def istft(spec: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
     """
     y, wsq = _istft_parts(spec, n_fft, hop_length, window,
                           normalized=normalized)
-    total = y.shape[-1]
     out = y / jnp.where(wsq > 1e-11, wsq, 1.0)
-    if center:
-        trim = n_fft // 2
-        if length is None:
-            out = out[:, trim: total - trim]
-        else:
-            # torch serves real OLA samples from the right half-window
-            # region when length exceeds the default, then zero-pads
-            avail = min(length, total - trim)
-            out = out[:, trim: trim + avail]
-            if avail < length:
-                out = jnp.pad(out, ((0, 0), (0, length - avail)))
-    elif length is not None:
-        avail = min(length, total)
-        out = out[:, :avail]
-        if avail < length:
-            out = jnp.pad(out, ((0, 0), (0, length - avail)))
-    return out
+    return _trim_or_pad(out, y.shape[-1], center, length, n_fft)
 
 
 def _istft_parts(spec, n_fft, hop_length, window, normalized=True,
@@ -271,9 +282,7 @@ def stft_ri(x: jax.Array, n_fft: int, hop_length: int, window: jax.Array,
     """
     B, T = x.shape
     if center:
-        pad = n_fft // 2
-        mode = {"constant": "constant", "reflect": "reflect"}[pad_mode]
-        x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
+        x = _center_pad(x, n_fft, pad_mode)
     Tp = x.shape[-1]
     frames = 1 + (Tp - n_fft) // hop_length
     w = _padded_window(window, n_fft).astype(x.dtype)
@@ -330,20 +339,5 @@ def istft_ri(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
     """:func:`istft` from real/imag spectra via matmul-IDFT (MXU path)."""
     y, wsq = istft_ri_parts(re, im, n_fft, hop_length, window,
                             normalized=normalized)
-    total = y.shape[-1]
     out = y / jnp.where(wsq > 1e-11, wsq, 1.0)
-    if center:
-        trim = n_fft // 2
-        if length is None:
-            out = out[:, trim: total - trim]
-        else:
-            avail = min(length, total - trim)
-            out = out[:, trim: trim + avail]
-            if avail < length:
-                out = jnp.pad(out, ((0, 0), (0, length - avail)))
-    elif length is not None:
-        avail = min(length, total)
-        out = out[:, :avail]
-        if avail < length:
-            out = jnp.pad(out, ((0, 0), (0, length - avail)))
-    return out
+    return _trim_or_pad(out, y.shape[-1], center, length, n_fft)

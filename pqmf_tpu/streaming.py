@@ -342,6 +342,17 @@ class StreamingPQMF:
             halos = (-(-self.hkf.shape[-1] // M), self.hki.shape[-1])
             if not _pk.supports(M, halos):
                 self.use_pallas = False
+                if self.mesh is not None:
+                    # same condition __init__ warns about: with the
+                    # Pallas path off, a configured (data, band) mesh is
+                    # silently unused and the convs run unsharded
+                    import warnings
+
+                    warnings.warn(
+                        "restored weights' halos disable the Pallas "
+                        "band-partitioned path (use_pallas degraded to "
+                        "False); the configured mesh is unused and convs "
+                        "run unsharded", stacklevel=2)
         a_left, a_right = centered_padding(self.hkf.shape[-1], M)
         _, s_right = centered_padding(self.hki.shape[-1], 1)
         self.stream_vs_centered_delay = a_right + s_right * M
@@ -429,8 +440,28 @@ class StreamingPQMF:
             "synthesis": conv_state_init(rows, M, self.hki.shape[-1], 1, dtype),
         }
 
+    def _check_block_parity(self, sub_len: int, what: str):
+        """The documented even-sub-band-length streaming constraint (see
+        module docstring): ``reverse_half``'s block-local alternating
+        sign means any other partition SILENTLY diverges from the
+        offline output from the next block on — reject it loudly.
+        Shapes are static, so under jit this raises at trace time."""
+        if self.n_band >= 2 and sub_len % 2:
+            raise ValueError(
+                f"streaming {what} block has odd sub-band length "
+                f"{sub_len}; blocks must be a multiple of 2*n_band="
+                f"{2 * self.n_band} full-rate samples (reverse_half's "
+                f"block-local sign parity would silently corrupt every "
+                f"later block)")
+
     def forward_block(self, state: dict, x):
         xf, B = self._fold(x)
+        T = xf.shape[-1]
+        if T % self.n_band:
+            raise ValueError(
+                f"block length {T} must be a multiple of "
+                f"n_band={self.n_band}")
+        self._check_block_parity(T // self.n_band, "analysis")
         new, y = _cached_analysis(xf, self.hkf, state["analysis"],
                                   mode="streaming", precision=self.precision,
                                   use_pallas=self.use_pallas, mesh=self.mesh)
@@ -439,6 +470,7 @@ class StreamingPQMF:
 
     def inverse_block(self, state: dict, x):
         xf, B = self._fold_bands(x)
+        self._check_block_parity(xf.shape[-1], "synthesis")
         new, y = _cached_synthesis(xf, self.hki, state["synthesis"],
                                    mode="streaming", precision=self.precision,
                                    use_pallas=self.use_pallas, mesh=self.mesh)

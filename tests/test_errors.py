@@ -78,6 +78,49 @@ def test_max_buffer_size_is_enforced():
     assert np.asarray(w_open.forward(big)).shape == (1, 8, 32768 // 8)
 
 
+def test_streaming_odd_block_rejected():
+    """An odd sub-band block length silently corrupts every later block
+    (reverse_half's block-local sign parity — module docstring); the
+    block methods must reject it loudly instead. Even blocks and the
+    n_band=1 passthrough (no odd bands, parity-free) stay accepted."""
+    from pqmf_tpu.streaming import StreamingPQMF
+
+    sp = StreamingPQMF(70, 16)
+    st = sp.init_state()
+    with pytest.raises(ValueError, match="sign parity"):
+        sp.forward_block(st, np.zeros((1, 1, 3 * 16), np.float32))
+    with pytest.raises(ValueError, match="multiple of n_band"):
+        sp.forward_block(st, np.zeros((1, 1, 100), np.float32))
+    with pytest.raises(ValueError, match="sign parity"):
+        sp.inverse_block(st, np.zeros((1, 16, 7), np.float32))
+    sp.forward_block(st, np.zeros((1, 1, 32 * 16), np.float32))  # fine
+
+    sp1 = StreamingPQMF(70, 1)
+    sp1.forward_block(sp1.init_state(),
+                      np.zeros((1, 1, 37), np.float32))  # parity-free
+
+
+def test_set_weights_warns_when_mesh_degrades_to_lax():
+    """Restoring a bank whose halos fail the Pallas gate while a (data,
+    band) mesh is configured must warn like __init__ does for the same
+    end state — not silently fall back to unsharded lax convs."""
+    import jax
+
+    from pqmf_tpu.ops.filterbank import params_from_hk
+    from pqmf_tpu.parallel.sharding import make_mesh
+    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    sp = StreamingPQMF(100, 16, use_pallas=True, mesh=make_mesh(8, 16))
+    assert sp.use_pallas
+    # a 4096-tap bank: analysis halo 256 > the 128-lane tile -> unsupported
+    big = params_from_hk(np.zeros((16, 4096), np.float32))
+    with pytest.warns(UserWarning, match="unsharded"):
+        sp.set_weights(big, *kernels_from_params(big))
+    assert not sp.use_pallas
+
+
 def test_nominal_buffer_larger_than_limit_rejected_at_construction():
     """m_buffer_size > max_buffer_size would produce a wrapper that
     rejects its own declared block size on every call — caught at

@@ -87,16 +87,20 @@ def test_nyquist_tone_rejected_on_downsample():
         f"aliased energy only {20*np.log10(out_rms/in_rms):.1f} dB down")
 
 
-def test_identity_ratio_near_exact():
-    """ratio 1 passes band-limited content through unchanged (the 0.99
-    rolloff lowpass only touches the top of the band, so full-band white
-    noise would NOT survive — that is filter behavior, not a bug)."""
-    ny = SUB_SR / 2
-    x = _multitone((0.1 * ny, 0.33 * ny, 0.62 * ny), (0.5, 0.3, 0.2),
-                   (0.2, 1.0, 2.0), SUB_SR, 1024).astype(np.float32)
-    y = np.asarray(rs.sinc_resample(jnp.asarray(x[None]), SUB_SR, SUB_SR))[0]
-    assert y.shape[-1] == 1024
-    np.testing.assert_allclose(y[32:-32], x[32:-32], atol=2e-3)
+def test_identity_ratio_exact():
+    """Equal rates are an exact identity — torchaudio.functional.resample
+    short-circuits BEFORE any filtering, so even full-band content (which
+    the 0.99-rolloff lowpass would attenuate) must pass through bit-exactly;
+    the banded plan mirrors the same short-circuit with unit-tap rows."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 1024)).astype(np.float32)  # full-band
+    y = np.asarray(rs.sinc_resample(jnp.asarray(x), SUB_SR, SUB_SR))
+    np.testing.assert_array_equal(y, x)
+
+    W, start, width = rs.banded_resample_plan(SUB_SR, SUB_SR, 64)
+    assert width == 0
+    np.testing.assert_array_equal(W[:, 0], np.ones(64, np.float32))
+    np.testing.assert_array_equal(start, np.arange(64, dtype=np.int32))
 
 
 @pytest.mark.parametrize("orig,new", [(2920, 2756), (6555, 2756),
