@@ -320,7 +320,12 @@ def main():
                      ("ta_pitchshift", bench_ta_pitchshift),
                      ("serving_16stream_aggregate", bench_streams),
                      ("serving_16stream_fast", lambda:
-                      bench_streams(precision="default"))):
+                      bench_streams(precision="default")),
+                     # peak serving scale: 64 concurrent streams (the
+                     # README's batching mitigation at its measured upper
+                     # end), fewer blocks to bound bench wall time
+                     ("serving_64stream_aggregate", lambda:
+                      bench_streams(n_streams=64, n_blocks=128))):
         try:
             corrected, raw, window_ok = fn()
             results[f"{name}_rtf"] = round(corrected, 1)

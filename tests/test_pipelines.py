@@ -273,12 +273,19 @@ def test_ta_wrapper_runs_with_chromatic_default():
     (8, 2048, [0, -3, 5, 12, -7, 2, 1, -1]),
     (16, 8192, [3.2, -48.5, 12.3, 0, 7, -24, 1, 2,
                 3, 4, 5, 6, -6, -12, 9, -30]),  # PQMFPsWrapper.py:157 range
+    # high band count: Tb=256 per band. Moderate cyclic shifts, NOT the
+    # chromatic default: range(64) semitones means rates up to 2^(63/12)
+    # ~ 38x, where the 689 Hz per-band resample plans degenerate (a
+    # 26681x689 dense sinc fold at compile time) — a config torchaudio
+    # itself would never be used with.
+    (64, 16384, [0.0, -3.0, 5.0, 12.0] * 16),
 ])
 def test_ta_fused_matches_per_band_loop(n_band, buf, shifts):
     """The fused one-dispatch TA pipeline equals the literal per-band loop
     (the reference's structure, PQMFPsWrapper.py:126-144) to >90 dB."""
     w = PQMFPitchShiftWrapperTA(100, n_band, buf,
-                                shifts_in_semitones=shifts)
+                                shifts_in_semitones=shifts,
+                                max_buffer_size=None)
     x = np.random.default_rng(11).standard_normal(
         (2, 1, buf)).astype(np.float32) * 0.3
     y_loop = np.asarray(w.pitchshifter_loop(x))
@@ -359,10 +366,11 @@ def test_phase_rule_accumulate_option():
     assert 1e-4 < r < 1.0
 
 
-@pytest.mark.parametrize("n_band,buffer", [(8, 4096), (32, 8192)])
+@pytest.mark.parametrize("n_band,buffer", [(8, 4096), (32, 8192), (64, 8192)])
 def test_flagship_other_band_counts_oracle_parity(n_band, buffer):
     """Oracle parity OFF the default config (VERDICT r2 item 4): the full
-    fused step at (8, 4096) and (32, 8192) vs the torch reference chain,
+    fused step at (8, 4096), (32, 8192) and (64, 8192) vs the torch
+    reference chain,
     pinning ``derive_stft_geometry`` and the per-band masks away from the
     (16, 8192) default. Wrap-stable shifts ({0, -12, -24}: integer rates,
     so the interpolation weight a is identically 0 and the chaotic dp term
