@@ -161,7 +161,7 @@ def main(argv=None):
 
         eps = 1e-8
         pitch_stream = (out_accum / (norm_accum + eps))[:, : total_len - pad]
-        recon_stream = (recon_accum / (norm_accum + eps))[:, : total_len - pad]
+        recon_stream = (recon_accum / (recon_norm + eps))[:, : total_len - pad]
 
     # whole-file pass (reference bug §2.5-2 fixed: call the real method);
     # lift the real-time buffer limit for this offline comparison pass

@@ -113,11 +113,22 @@ class PQMF:
             use_pallas = (polyphase and _pk.pallas_available()
                           and _pk.supports(n_band, (halo,)))
         self.use_pallas = bool(use_pallas)
-        if self.use_pallas:
-            from pqmf_tpu.kernels.polyphase import check_band_mesh
+        # validate the mesh even when the Pallas path is off — an invalid
+        # mesh should fail loudly, and a valid-but-unused one should warn
+        # (same policy as StreamingPQMF)
+        from pqmf_tpu.kernels.polyphase import check_band_mesh
 
-            self.mesh = check_band_mesh(mesh, n_band)
+        checked = check_band_mesh(mesh, n_band)
+        if self.use_pallas:
+            self.mesh = checked
         else:
+            if mesh is not None:
+                import warnings
+
+                warnings.warn(
+                    "mesh provided but the Pallas band-partitioned path "
+                    "is off (use_pallas resolved False); convs run "
+                    "unsharded", stacklevel=2)
             self.mesh = None
         # convenient aliases mirroring the reference's buffers
         self.h = self.params["h"]
@@ -129,6 +140,10 @@ class PQMF:
         the designed ones, re-gating the Pallas kernels' halo constraint
         like the construction-time "auto" gate."""
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        if self.polyphase and self.params["hk_poly"].shape[-1] == 0:
+            raise ValueError(
+                "restored bank length is not divisible by n_band — it has "
+                "no polyphase form; rebuild with polyphase=False")
         self.h = self.params["h"]
         self.hk = self.params["hk"]
         if self.use_pallas:
@@ -149,6 +164,11 @@ class PQMF:
             x = x[None]
         if x.ndim != 3:
             raise ValueError(f"expected rank <= 3 input, got shape {x.shape}")
+        if x.shape[1] != channels:
+            raise ValueError(
+                f"expected {channels} channel(s), got {x.shape[1]} "
+                f"(shape {x.shape}); construct PQMF(..., "
+                f"n_channels={x.shape[1]}) for this input")
         return x
 
     # -- public API ----------------------------------------------------------
@@ -186,10 +206,11 @@ class PQMF:
         if self.n_band == 1:
             return x
         B, CM, Tp = x.shape
-        if CM % self.n_band:
+        if CM != self.n_channels * self.n_band:
             raise ValueError(
-                f"channel dim {CM} not a multiple of n_band={self.n_band}"
-            )
+                f"expected {self.n_channels * self.n_band} rows "
+                f"({self.n_channels} channel(s) x {self.n_band} bands), "
+                f"got {CM}")
         C = CM // self.n_band
         xc = x.reshape(B * C, self.n_band, Tp)
         y = _synthesis(

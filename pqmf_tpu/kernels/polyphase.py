@@ -38,9 +38,6 @@ __all__ = ["polyphase_analysis", "polyphase_synthesis",
            "pallas_available", "supports"]
 
 DEFAULT_TILE = 2048
-# frames scratch [L*M, Tt] must fit comfortably in VMEM alongside the
-# pipeline's in/out blocks; 4 MB keeps tile=2048 for the default L*M=512.
-_FRAMES_VMEM_BYTES = 4 << 20
 
 
 def pallas_available() -> bool:
@@ -102,14 +99,12 @@ def _sign_mask(M, Tt, parity, dtype):
     return jnp.where(neg, -1.0, 1.0).astype(dtype)
 
 
-def _build_frames(xw, frames_ref, M, L, Tt, mask_fn=None):
-    """frames_ref[l*M + m, t] = xw[m, t + l] (optionally * mask_l)."""
+def _build_frames(xw, frames_ref, M, L, Tt):
+    """frames_ref[l*M + m, t] = xw[m, t + l]."""
     W = xw.shape[-1]
     for l in range(L):
         # left-roll by l == right-roll by W - l (pltpu.roll wants shift >= 0)
         sl = pltpu.roll(xw, W - l, axis=1)[:, :Tt] if l else xw[:, :Tt]
-        if mask_fn is not None:
-            sl = sl * mask_fn(l)
         frames_ref[l * M:(l + 1) * M, :] = sl
 
 

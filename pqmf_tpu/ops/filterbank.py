@@ -112,13 +112,25 @@ def build_filterbank(attenuation: float, n_band: int) -> dict:
 
 def params_from_hk(hk, h=None) -> dict:
     """Derive the params pytree from a given modulated bank ``hk``
-    [M, P] (P divisible by M) — e.g. a fine-tuned bank that is no longer
-    exactly a cosine modulation of one prototype. ``h`` (the prototype)
-    is carried through when known, else stored empty."""
+    [M, P] — e.g. a fine-tuned bank that is no longer exactly a cosine
+    modulation of one prototype. ``h`` (the prototype) is carried through
+    when known, else stored empty.
+
+    The polyphase matrices require ``P % M == 0`` (true whenever M is a
+    power of two, since P is pow2-padded). For other band counts — legal
+    in the reference's *classic* path, whose polyphase rearrange happens
+    only at call time (pqmf.py:126-149) — they are stored empty and only
+    the classic convs may be used."""
     hk = np.asarray(hk, np.float32)
     M, P = hk.shape
     if P % M:
-        raise ValueError(f"bank length {P} not divisible by n_band {M}")
+        empty = np.zeros((M, M, 0), np.float32)
+        return {
+            "h": jnp.asarray(np.zeros((0,), np.float32) if h is None else h),
+            "hk": jnp.asarray(hk),
+            "hk_poly": jnp.asarray(empty),
+            "hk_ipoly": jnp.asarray(empty.copy()),
+        }
     hk_poly = hk.reshape(M, P // M, M).transpose(0, 2, 1)
     hk_flip = hk[:, ::-1]
     hk_ipoly = hk_flip.reshape(M, P // M, M).transpose(2, 0, 1)

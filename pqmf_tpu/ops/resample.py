@@ -41,6 +41,13 @@ def interpolate_linear(x: jax.Array, size: int) -> jax.Array:
 
     x: [..., T] -> [..., size]. Source coordinate of output i is
     ``(i + 0.5) * T/size - 0.5`` clamped to [0, T-1].
+
+    Lowering note: this static-shape form keeps the two minor-dim gathers
+    (their indices are compile-time constants here). It serves the
+    *standalone* shifters (CLI / offline whole-file use, where a one-hot
+    [size, T] weight matrix would be O(T^2) memory); the fused on-chip
+    pipelines use :func:`interpolate_linear_dynamic`'s gather-free
+    one-hot matmul instead.
     """
     T = x.shape[-1]
     scale = T / size

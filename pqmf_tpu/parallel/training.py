@@ -177,18 +177,13 @@ def make_train_step(optimizer=None, mesh: Mesh | None = None,
         # device): the band axis only carries meaning for inference
         x_sharding = NamedSharding(mesh, P(("data", "band"), None, None))
         repl = NamedSharding(mesh, P())
-        state_sharding = TrainState(repl, jax.tree.map(lambda _: repl,
-                                                       optimizer.init(
-                                                           jnp.zeros((1,)))))
+        # one template: state (params + opt state) fully replicated
+        state_sharding = jax.tree.map(
+            lambda _: repl, TrainState(0, optimizer.init(jnp.zeros((1,)))))
         step = jax.jit(
             step,
-            in_shardings=(jax.tree.map(lambda _: repl,
-                                       TrainState(0, optimizer.init(
-                                           jnp.zeros((1,))))),
-                          x_sharding),
-            out_shardings=(jax.tree.map(lambda _: repl,
-                                        TrainState(0, optimizer.init(
-                                            jnp.zeros((1,))))), repl),
+            in_shardings=(state_sharding, x_sharding),
+            out_shardings=(state_sharding, repl),
         )
     else:
         step = jax.jit(step)

@@ -162,10 +162,13 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
         t1 = jnp.minimum(t0 + 1, frames - 1)
         a = (t_prime - t0.astype(bands.dtype))[None, None, :]
 
-        mag_s = (1 - a) * jnp.take(mag, t0, -1) + a * jnp.take(mag, t1, -1)
+        # frame selection via the shared one-hot matmul (bit-identical to
+        # the gathers, and the documented fast form for this TPU's
+        # minor-dim indexing — see pv._select_frames)
+        mag0, phi0 = pv._select_frames(mag, phase, t0)
+        mag1, phi1 = pv._select_frames(mag, phase, t1)
+        mag_s = (1 - a) * mag0 + a * mag1
         om = omega[None, :, None]
-        phi0 = jnp.take(phase, t0, -1)
-        phi1 = jnp.take(phase, t1, -1)
         dp = pv.principal_angle(phi1 - phi0 - om)
         if phase_rule == "accumulate":
             # librosa/torchaudio running phase (opt-in fix of reference
@@ -216,6 +219,19 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
 
     # --- crossfade against the carried per-band tail ---
     L = prev_tail.shape[-1]
+    # a block whose sub-band length cannot cover the crossfade overlap
+    # would silently skip the blend and freeze the carried tail (audible
+    # seams with no signal) — fail loudly instead, like the streaming
+    # layer's block-parity guard (the reference would crash on the
+    # mismatched fade shapes here, 1-PitchShifterWrapper.py:264-268)
+    wants_crossfade = (crossfade == "batched"
+                       or (crossfade is True and B == 1))
+    if wants_crossfade and L > 0 and Tb < L:
+        raise ValueError(
+            f"sub-band block length {Tb} is shorter than the crossfade "
+            f"overlap {L}: blocks must be >= n_band*band_overlap = "
+            f"{M * L} samples for this wrapper's geometry; construct the "
+            f"wrapper with a matching m_buffer_size for smaller blocks")
     if crossfade == "batched" and L > 0 and Tb >= L:
         # per-batch tails [M, B, L]: every stream crossfades independently
         blended = prev_tail * fade_out + shifted[:, :, :L] * fade_in

@@ -48,17 +48,28 @@ __all__ = [
 
 
 def _norm_bt(x):
-    """Accept [T], [B,T] or [B,1,T] -> ([B,T], squeeze_back)."""
+    """Accept [T], [B,T] or [B,1,T] -> ([B,T], restore_mode).
+
+    ``restore_mode`` records the original rank so :func:`_restore_bt` can
+    hand back the same leading shape the caller passed (a [B,1,T] conv
+    buffer comes back [B,1,T], not [B,T])."""
     x = jnp.asarray(x)
-    squeeze = False
     if x.ndim == 1:
-        x = x[None]
-        squeeze = True
+        return x[None], "t"
     if x.ndim == 3 and x.shape[1] == 1:
-        x = x[:, 0]
+        return x[:, 0], "b1t"
     if x.ndim != 2:
         raise ValueError("input must be [T], [B,T] or [B,1,T]")
-    return x, squeeze
+    return x, "bt"
+
+
+def _restore_bt(y, mode):
+    """Undo :func:`_norm_bt`'s shape normalization."""
+    if mode == "t":
+        return y[0]
+    if mode == "b1t":
+        return y[:, None, :]
+    return y
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "T",
@@ -136,7 +147,7 @@ class PhaseVocoderPitchShift:
         return Tp, frames, frames_out, rate
 
     def __call__(self, x, n_steps: int):
-        x, squeeze = _norm_bt(x)
+        x, mode = _norm_bt(x)
         B, T = x.shape
         Tp, frames, frames_out, rate = self.geometry(T, n_steps)
         if Tp > T:
@@ -144,7 +155,7 @@ class PhaseVocoderPitchShift:
         y = _pvoc_shift_core(x, jnp.float32(rate), self.n_fft,
                              self.hop_length, self.win_length, T, frames_out,
                              accumulate=self.accumulate_phase)
-        return y[0] if squeeze else y
+        return _restore_bt(y, mode)
 
     forward = __call__
 
@@ -159,7 +170,7 @@ class ResamplePitchShift:
         self.factor = float(2 ** (self.n_steps / 12.0))
 
     def __call__(self, x):
-        x, squeeze = _norm_bt(x)
+        x, mode = _norm_bt(x)
         B, T = x.shape
         new_len = max(1, int(round(float(T) / self.factor)))
         y = rs.interpolate_linear(x, new_len)
@@ -171,7 +182,7 @@ class ResamplePitchShift:
             pad = T - cur
             left = pad // 2
             y = jnp.pad(y, ((0, 0), (left, pad - left)))
-        return y[0] if squeeze else y
+        return _restore_bt(y, mode)
 
     forward = __call__
 
@@ -232,15 +243,15 @@ class TorchaudioPitchShift:
         return frames, frames_out, len_stretch, orig
 
     def __call__(self, x):
-        x, squeeze = _norm_bt(x)
+        x, mode = _norm_bt(x)
         B, T = x.shape
         frames, frames_out, len_stretch, orig = self.geometry(T)
         if self.n_steps == 0:
-            return x[0] if squeeze else x
+            return _restore_bt(x, mode)
         y = _ta_shift_core(x, jnp.float32(self.rate), self.n_fft,
                            self.hop_length, self.win_length, T, frames_out,
                            len_stretch, orig, self.sample_rate)
-        return y[0] if squeeze else y
+        return _restore_bt(y, mode)
 
     forward = __call__
 

@@ -204,3 +204,23 @@ def test_profiler_trace_writes(tmp_path):
 
     found = any(files for _, _, files in os.walk(tmp_path))
     assert found
+
+
+def test_crossfade_rejects_blocks_shorter_than_overlap():
+    """A block whose sub-band length can't cover the crossfade overlap
+    used to skip the blend silently (stale tail, audible seams); it must
+    fail loudly instead (r3 review finding). 1024 samples into the
+    default 8192-geometry wrapper gives Tb=64 < overlap 128."""
+    import numpy as np
+    import pytest
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(100, 16, 8192)
+    x = np.zeros((1, 1, 1024), np.float32)
+    with pytest.raises(ValueError, match="crossfade overlap"):
+        w.pitchshift_fn(w.init_state(), x)
+    # the same length through a wrapper PLANNED for it is fine
+    w2 = PQMFPitchShiftWrapper(100, 16, 1024)
+    state, y = w2.pitchshift_fn(w2.init_state(), x)
+    assert np.asarray(y).shape == (1, 1024)

@@ -172,3 +172,35 @@ def test_flute_roundtrip_snr():
     s, lag = best_aligned_snr(x.ravel(), y.ravel(), max_lag=4)
     # real audio is band-limited, so it reconstructs far better than noise
     assert s > 45, f"flute roundtrip SNR {s} dB (lag {lag})"
+
+
+def test_classic_nonpow2_band_count_matches_oracle():
+    """Non-power-of-two band counts are legal on the classic path (the
+    reference's polyphase rearrange happens only at call time,
+    pqmf.py:126-149, so PQMF(..., polyphase=False) never needs P % M == 0;
+    construction used to crash here — r3 review finding)."""
+    rng = np.random.default_rng(12)
+    M = 12
+    x = rng.standard_normal((1, 1, M * 128)).astype(np.float32) * 0.3
+    pq = PQMF(80, M, polyphase=False)
+    assert pq.params["hk_poly"].shape[-1] == 0  # no polyphase form exists
+    hk = np.asarray(pq.hk)
+    sub = np.asarray(pq.forward(x))
+    want = reverse_half_np(torch_classic_forward(x, hk))
+    assert snr_db(want, sub) > 100
+    y = np.asarray(pq.inverse(sub))
+    want_y = torch_classic_inverse(reverse_half_np(want), hk)
+    assert snr_db(want_y, y) > 100
+
+
+def test_channel_count_is_validated():
+    """A declared-stereo module must reject a 3-channel input instead of
+    silently processing it (parity with StreamingPQMF._fold)."""
+    import pytest
+
+    rng = np.random.default_rng(13)
+    pq = PQMF(100, 16, n_channels=2)
+    with pytest.raises(ValueError, match="channel"):
+        pq.forward(rng.standard_normal((1, 3, 4096)).astype(np.float32))
+    with pytest.raises(ValueError, match="rows"):
+        pq.inverse(rng.standard_normal((1, 16, 256)).astype(np.float32))

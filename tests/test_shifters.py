@@ -213,8 +213,9 @@ def test_pvoc_shift_rank_handling():
     y2 = np.asarray(sh(x[None], 3))
     y3 = np.asarray(sh(x[None, None], 3))
     assert y1.shape == (512,)
+    assert y3.shape == (1, 1, 512)  # [B,1,T] keeps its leading shape (r3)
     np.testing.assert_allclose(y1, y2[0], atol=1e-6)
-    np.testing.assert_allclose(y2, y3, atol=1e-6)
+    np.testing.assert_allclose(y2, y3[:, 0], atol=1e-6)
 
 
 def test_resample_shift_matches_torch_interpolate():
@@ -294,3 +295,21 @@ def test_interpolate_linear_dynamic_matches_static():
         jnp.asarray(xp), jnp.int32(600), 512))
     want = np.asarray(rs.interpolate_linear(jnp.asarray(x), 512))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_shifters_preserve_leading_shape():
+    """[B,1,T] conv-style buffers come back [B,1,T] (r3 review finding:
+    the channel axis used to be dropped)."""
+    rng = np.random.default_rng(21)
+    x3 = rng.standard_normal((2, 1, 2048)).astype(np.float32) * 0.3
+    pv_s = PhaseVocoderPitchShift(n_fft=512, hop_length=128, win_length=512)
+    y = np.asarray(pv_s(jnp.asarray(x3), 3))
+    assert y.shape == x3.shape
+    np.testing.assert_allclose(
+        y[:, 0], np.asarray(pv_s(jnp.asarray(x3[:, 0]), 3)), atol=0, rtol=0)
+    rp = ResamplePitchShift(5)
+    assert np.asarray(rp(jnp.asarray(x3))).shape == x3.shape
+    ta = TorchaudioPitchShift(2756, -3)
+    assert np.asarray(ta(jnp.asarray(x3))).shape == x3.shape
+    ta0 = TorchaudioPitchShift(2756, 0)
+    assert np.asarray(ta0(jnp.asarray(x3))).shape == x3.shape
