@@ -375,8 +375,12 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
             self.shifts = list(range(n_band))  # chromatic default (:131)
         else:
             self.shifts = list(shifts_in_semitones)
-        assert len(self.shifts) == n_band, (
-            f"expected {n_band} shifts, got {len(self.shifts)}")
+        if len(self.shifts) != n_band:
+            # a real ValueError, not an assert: `python -O` strips asserts
+            # and a silently mis-sized shift list corrupts the per-band
+            # mapping downstream
+            raise ValueError(
+                f"expected {n_band} shifts, got {len(self.shifts)}")
 
         self.win, self.hop, self.n_fft, self.band_overlap = (
             derive_stft_geometry(m_buffer_size, n_band))
@@ -388,7 +392,9 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         self._rates_py = rates
         self.Tb = m_buffer_size // n_band
         self._plans = {}
-        assert phase_rule in ("reference", "accumulate")
+        if phase_rule not in ("reference", "accumulate"):
+            raise ValueError(f"unknown phase_rule {phase_rule!r}: expected "
+                             "'reference' or 'accumulate'")
         self.phase_rule = phase_rule
 
         L = self.band_overlap
@@ -693,6 +699,9 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
             self.shifts = list(range(n_band))
         else:
             self.shifts = list(shifts_in_semitones)
+        if len(self.shifts) != n_band:
+            raise ValueError(
+                f"expected {n_band} shifts, got {len(self.shifts)}")
         self.pitch_shifters = [
             TorchaudioPitchShift(sub_sr, int(round(float(s))))
             for s in self.shifts

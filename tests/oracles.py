@@ -9,6 +9,11 @@ import torch
 import torch.nn.functional as F
 
 
+
+# canonical 16-band shift set shared by the pipeline, export, and golden
+# tests (the committed goldens were generated with it — keep in sync)
+SHIFTS16 = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+
 def _t(x) -> torch.Tensor:
     return torch.from_numpy(np.array(x, dtype=np.float32, copy=True))
 

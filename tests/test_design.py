@@ -35,23 +35,26 @@ def test_kaiser_filter_matches_scipy_firwin(atten, wc):
     np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-12)
 
 
+def scipy_design_loss(w, atten, M):
+    """The reference objective run on scipy primitives (pqmf.py:88-95) —
+    one copy shared by both design-parity tests."""
+    N_, beta = scipy_signal.kaiserord(atten, float(np.ravel(w)[0]) / np.pi)
+    N_ = 2 * (N_ // 2) + 1
+    h = scipy_signal.firwin(
+        N_, float(np.ravel(w)[0]), window=("kaiser", beta),
+        scale=False, fs=2 * np.pi,
+    )
+    g = np.convolve(h, h[::-1], "full")
+    g = abs(g[g.shape[-1] // 2 :: 2 * M][1:])
+    return np.max(g)
+
+
 @pytest.mark.parametrize("M", [4, 8, 16])
 def test_nelder_mead_matches_scipy_fmin(M):
     atten = 100
 
-    def loss_scipy(w):
-        # reference loss implemented with scipy primitives (pqmf.py:88-95)
-        N_, beta = scipy_signal.kaiserord(atten, float(np.ravel(w)[0]) / np.pi)
-        N_ = 2 * (N_ // 2) + 1
-        h = scipy_signal.firwin(
-            N_, float(np.ravel(w)[0]), window=("kaiser", beta),
-            scale=False, fs=2 * np.pi,
-        )
-        g = np.convolve(h, h[::-1], "full")
-        g = abs(g[g.shape[-1] // 2 :: 2 * M][1:])
-        return np.max(g)
-
-    wc_scipy = scipy_optimize.fmin(loss_scipy, 1.0 / M, disp=0)[0]
+    wc_scipy = scipy_optimize.fmin(
+        lambda w: scipy_design_loss(w, atten, M), 1.0 / M, disp=0)[0]
     wc_ours = design.nelder_mead(
         lambda w: design.loss_wc(w, atten, M), 1.0 / M
     )[0]
@@ -70,18 +73,8 @@ def test_prototype_matches_reference_design_chain():
     """End-to-end: our prototype == the reference design chain run on SciPy."""
     M, atten = 16, 100
 
-    def loss_scipy(w):
-        N_, beta = scipy_signal.kaiserord(atten, float(np.ravel(w)[0]) / np.pi)
-        N_ = 2 * (N_ // 2) + 1
-        h = scipy_signal.firwin(
-            N_, float(np.ravel(w)[0]), window=("kaiser", beta),
-            scale=False, fs=2 * np.pi,
-        )
-        g = np.convolve(h, h[::-1], "full")
-        g = abs(g[g.shape[-1] // 2 :: 2 * M][1:])
-        return np.max(g)
-
-    wc = scipy_optimize.fmin(loss_scipy, 1.0 / M, disp=0)[0]
+    wc = scipy_optimize.fmin(
+        lambda w: scipy_design_loss(w, atten, M), 1.0 / M, disp=0)[0]
     N_, beta = scipy_signal.kaiserord(atten, wc / np.pi)
     N_ = 2 * (N_ // 2) + 1
     h_ref = scipy_signal.firwin(

@@ -21,7 +21,7 @@ def test_pitchshift_wrapper_rejects_bad_shapes():
     w = PQMFPitchShiftWrapper(70, 8, 256)
     with pytest.raises(ValueError):
         w.decompose(np.zeros((1, 2, 256), np.float32))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="shifts"):
         PQMFPitchShiftWrapper(70, 8, 256, shifts_in_semitones=[1, 2, 3])
 
 

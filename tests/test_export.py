@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from pqmf_tpu.export import load_artifact, load_stablehlo, save_artifact
 from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, PQMFWrapper
 
-SHIFTS = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+from oracles import SHIFTS16 as SHIFTS
 
 
 def test_pqmf_wrapper_artifact_roundtrip(tmp_path):
@@ -208,7 +208,8 @@ def test_max_buffer_size_survives_artifact_roundtrip(tmp_path):
     mpath = os.path.join(path, "manifest.json")
     manifest = json.load(open(mpath))
     del manifest["config"]["max_buffer_size"]
-    json.dump(manifest, open(mpath, "w"))
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
     loaded3, _ = load_artifact(path)
     assert loaded3.max_buffer_size is None
 
@@ -219,7 +220,8 @@ def test_unknown_config_key_warns(tmp_path):
     mpath = os.path.join(path, "manifest.json")
     manifest = json.load(open(mpath))
     manifest["config"]["frobnicate"] = 3
-    json.dump(manifest, open(mpath, "w"))
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
     with pytest.warns(UserWarning, match="frobnicate"):
         load_artifact(path)
 

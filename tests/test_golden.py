@@ -20,7 +20,7 @@ import pytest
 
 from pqmf_tpu.pipelines import PQMFWrapper
 from pqmf_tpu.utils.audio import read_wav
-from tests.oracles import best_aligned_snr
+from oracles import SHIFTS16, best_aligned_snr
 
 REF = "/root/reference"
 
@@ -77,7 +77,6 @@ def test_committed_goldens_readable_and_sane(name):
 import os
 
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
-SHIFTS16 = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
 GOLDEN_TOL = 1e-5
 
 

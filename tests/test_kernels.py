@@ -56,10 +56,13 @@ def test_pqmf_pallas_flag_roundtrip():
 def test_unsupported_band_count_falls_back():
     """n_band=4 is below the sublane-alignment constraint: auto mode must
     select the lax path (and still reconstruct)."""
+    from pqmf_tpu.kernels.polyphase import supports
+
     pq = PQMF(100, 4, use_pallas="auto")
-    assert pq.use_pallas in (False,) if not __import__(
-        "pqmf_tpu.kernels.polyphase", fromlist=["supports"]).supports(4) \
-        else (True, False)
+    # parenthesized: the bare ternary parsed as `(x in (False,)) if ...
+    # else (True, False)`, whose else-branch asserted a constant tuple
+    assert pq.use_pallas in (
+        (False,) if not supports(4) else (True, False))
     x = np.random.default_rng(3).standard_normal((1, 1, 4 * 256)).astype(
         np.float32)
     y = pq.inverse(pq.forward(x))
@@ -131,13 +134,13 @@ def test_fused_roundtrip_matches_composition(n_band):
 
     rng = np.random.default_rng(11)
     G = 128 // n_band
+    pq = PQMF(70, n_band, n_channels=2, use_pallas=True)
+    sp = StreamingPQMF(70, n_band, n_channels=2, use_pallas=True)
     for T in (256 * n_band, (128 * G + 3) * n_band):
         x = rng.standard_normal((2, 2, T)).astype(np.float32)
-        pq = PQMF(70, n_band, n_channels=2, use_pallas=True)
         np.testing.assert_allclose(
             np.asarray(pq.roundtrip(x)),
             np.asarray(pq.inverse(pq.forward(x))), atol=5e-6, rtol=0)
-        sp = StreamingPQMF(70, n_band, n_channels=2, use_pallas=True)
         np.testing.assert_array_equal(
             np.asarray(sp.roundtrip(x)),
             np.asarray(sp.inverse(sp.forward(x))))

@@ -21,7 +21,7 @@ from test_shifters import torch_pvoc_pitchshift
 
 # stable shift set (avoids the +12/+7 wrap-chaotic parity cases analyzed in
 # test_shifters; the pipeline itself handles any shifts)
-SHIFTS = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
+from oracles import SHIFTS16 as SHIFTS
 
 
 def torch_cached_analysis(x, hk):
@@ -474,9 +474,8 @@ def test_fast_serving_precision_mode():
     """precision='default' (bf16 MXU passes on TPU; plain f32 on CPU) is
     an opt-in quality/throughput tradeoff: output stays close to the
     HIGHEST-precision result and the state machinery is unaffected."""
-    shifts = [0, 4, -5, -12, 3, -7, 2, -3, 5, -9, 1, -1, -4, -6, -2, -24]
-    w_hi = PQMFPitchShiftWrapper(100, 16, 8192, 44100, shifts)
-    w_lo = PQMFPitchShiftWrapper(100, 16, 8192, 44100, shifts,
+    w_hi = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS)
+    w_lo = PQMFPitchShiftWrapper(100, 16, 8192, 44100, SHIFTS,
                                  precision="default")
     x = np.random.default_rng(21).standard_normal(
         (1, 8192)).astype(np.float32) * 0.3

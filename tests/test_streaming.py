@@ -246,7 +246,6 @@ def test_stereo_streaming_matches_offline():
 
     # the round trip itself reconstructs (delay-compensated; streamed
     # output lags by sp.latency_samples)
-    from tests.oracles import best_aligned_snr
 
     snr, lag = best_aligned_snr(x[0, 0], got[0, 0],
                                 max_lag=sp.latency_samples + 64)
