@@ -12,7 +12,11 @@ method that actually exists, so ``nonblock_pitchshifter.wav`` is produced.
 Usage:
     python -m pqmf_tpu.cli.blocks <input.wav> --block 4096 [--overlap N]
         [--out_prefix blocktest] [--out_dir DIR] [--n_band 16]
-        [--buffer 8192] [--shifts s0,s1,...] [--seed N] [--cpu]
+        [--buffer 8192] [--shifts s0,s1,...] [--seed N] [--stereo] [--cpu]
+
+``--stereo`` keeps all channels, one serving stream per channel with
+independent crossfade state (the reference mixes down / drops to the
+first channel and its crossfade is single-stream only).
 """
 
 from __future__ import annotations
@@ -56,6 +60,10 @@ def main(argv=None):
                         "(attenuation, n_band) on the constructed wrapper "
                         "(ignored with --artifact: its weights already ride "
                         "in the manifest)")
+    p.add_argument("--stereo", action="store_true",
+                   help="keep all channels and run one serving stream per "
+                        "channel (independent crossfade state each) instead "
+                        "of the reference's mono mixdown")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -69,9 +77,10 @@ def main(argv=None):
     from pqmf_tpu.utils.audio import read_wav, rms, write_wav
 
     wav, sr = read_wav(args.input)
-    if wav.shape[0] > 1:
+    if wav.shape[0] > 1 and not args.stereo:
         wav = wav.mean(axis=0, keepdims=True)
     wav = wav.astype(np.float32)
+    n_ch = wav.shape[0]
 
     overlap = args.overlap if args.overlap is not None else args.block // 2
     if overlap < 0 or overlap >= args.block:
@@ -119,7 +128,7 @@ def main(argv=None):
     window = (0.5 - 0.5 * np.cos(2 * np.pi * n / args.block)).astype(
         np.float32)[None, :]
 
-    out_accum = np.zeros((1, total_len), np.float32)
+    out_accum = np.zeros((n_ch, total_len), np.float32)
     norm_accum = np.zeros_like(out_accum)
     recon_accum = np.zeros_like(out_accum)
     recon_norm = np.zeros_like(out_accum)
@@ -131,9 +140,11 @@ def main(argv=None):
 
     def ola(acc, nrm, blk_np, i):
         if nat is not None:
-            nat.ola_accumulate(acc[0], nrm[0],
-                               np.ascontiguousarray(blk_np[0]).tobytes(),
-                               win_b, i)
+            for c in range(acc.shape[0]):
+                nat.ola_accumulate(acc[c], nrm[c],
+                                   np.ascontiguousarray(
+                                       blk_np[c]).tobytes(),
+                                   win_b, i)
         else:
             acc[:, i:i + args.block] += blk_np * window
             nrm[:, i:i + args.block] += window * window
@@ -150,13 +161,20 @@ def main(argv=None):
         print(f"scan path: {_time.perf_counter() - t0:.2f} s "
               f"(compile + run, ONE dispatch)")
     else:
-        state = wrapper.init_state()
+        # mono: the reference's single-stream stateful step; multichannel
+        # (--stereo): one serving stream per channel, each with its own
+        # crossfade state (the reference's crossfade is batch==1 only)
+        state = (wrapper.init_state() if n_ch == 1
+                 else wrapper.init_streams(n_ch))
         for frame_idx in range(n_frames):
             i = frame_idx * hop
             blk = wav[:, i:i + args.block] * window
-            state, out = wrapper.pitchshift_fn(state, blk)
+            if n_ch == 1:
+                state, out = wrapper.pitchshift_fn(state, blk)
+            else:
+                state, out = wrapper.pitchshift_streams(state, blk)
             ola(out_accum, norm_accum, np.asarray(out), i)
-            rec = np.asarray(wrapper.forward_fn(blk))
+            rec = np.asarray(wrapper.forward_fn(blk[:, None, :]))
             ola(recon_accum, recon_norm, rec, i)
 
         eps = 1e-8
@@ -168,8 +186,12 @@ def main(argv=None):
     wrapper.reset()
     wrapper.max_buffer_size = None
     T_full = (wav.shape[-1] // args.n_band) * args.n_band
+    # multichannel rides the batch axis ([C, 1, T]); like the reference,
+    # batch > 1 runs without the single-stream crossfade (irrelevant for
+    # one whole-file call: there is no previous block to blend against)
+    full_in = wav[:, :T_full] if n_ch == 1 else wav[:, None, :T_full]
     full_out = np.asarray(
-        wrapper.pitchshift(wav[:, :T_full]))[:, : wav.shape[-1] - pad]
+        wrapper.pitchshift(full_in))[:, : wav.shape[-1] - pad]
 
     # an out_prefix with a directory part (e.g. /tmp/blocktest) routes ALL
     # outputs there, including the prefix-less nonblock file

@@ -29,6 +29,7 @@ import numpy as np
 __all__ = [
     "interpolate_linear",
     "interpolate_linear_dynamic",
+    "interpolate_linear_dynamic_gather",
     "sinc_resample_kernel",
     "sinc_resample",
     "banded_resample_plan",
@@ -89,6 +90,32 @@ def interpolate_linear_dynamic(x: jax.Array, src_len: jax.Array, size: int):
           + (p == i1[:, None]).astype(x.dtype) * a[:, None])
     return jnp.einsum("...p,jp->...j", x, Wm,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def interpolate_linear_dynamic_gather(x: jax.Array, src_len: jax.Array,
+                                      size: int):
+    """Linear-memory form of :func:`interpolate_linear_dynamic`: two
+    traced-index gathers instead of the O(T * size) one-hot matmul.
+
+    The gather is the slow per-element pattern on this TPU, but it scales
+    linearly — the right trade for OFFLINE whole-file inputs where the
+    one-hot weight matrix would be gigabytes (same trade the TA pipeline
+    makes with ``resample_kind="gather"``). Matches the one-hot form to
+    float round-off (identical index/weight math; the one-hot's documented
+    1-ulp clamp-case difference applies in reverse here).
+    """
+    T = x.shape[-1]
+    slf = src_len.astype(jnp.float32)
+    src = (jnp.arange(size, dtype=jnp.float32) + 0.5) * (slf / size) - 0.5
+    src = jnp.clip(src, 0.0, jnp.maximum(slf - 1, 0))
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.maximum(src_len - 1, 0))
+    i0 = jnp.clip(i0, 0, T - 1)
+    i1 = jnp.clip(i1, 0, T - 1)
+    a = (src - i0).astype(x.dtype)
+    return (jnp.take(x, i0, axis=-1) * (1 - a)
+            + jnp.take(x, i1, axis=-1) * a)
 
 
 def sinc_resample_kernel(orig_freq: int, new_freq: int,

@@ -111,11 +111,12 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
-                                   "crossfade", "phase_rule", "precision"))
+                                   "crossfade", "phase_rule", "precision",
+                                   "resample_kind"))
 def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
                            fade_in, n_fft, hop, win, Tb, FO_max,
                            crossfade=True, phase_rule="reference",
-                           precision="highest"):
+                           precision="highest", resample_kind="onehot"):
     """Pitch-shift every sub-band in one fused program.
 
     bands: [B, M, Tb]; rates/frames_out: [M].
@@ -123,6 +124,10 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     1-PitchShifterWrapper.py:262): prev_tail [M, L].
     crossfade "batched" (multi-stream serving): prev_tail [M, B, L] —
     every batch row keeps its own carried tail.
+    resample_kind: "onehot" (gather-free, the serving path; materializes
+    an O(Tb * stretch_len) weight matrix per band) or "gather"
+    (linear memory — whole-file offline inputs, same trade as the TA
+    pipeline's fallback).
     Returns (shifted [B, M, Tb], new_tail like prev_tail).
     """
     B, M, _ = bands.shape
@@ -213,6 +218,9 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     # small-op overhead; this path measures below the timing floor)
     def interp(p_b, fo):
         length_stretch = jnp.maximum((fo - 1) * hop + n_fft, 1)
+        if resample_kind == "gather":
+            return rs.interpolate_linear_dynamic_gather(
+                p_b, length_stretch, Tb)
         return rs.interpolate_linear_dynamic(p_b, length_stretch, Tb)
 
     shifted = jax.vmap(interp)(P, frames_out)  # [M, B, Tb]
@@ -454,16 +462,23 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
             self._plans[Tb] = plan
         return plan
 
+    # past this sub-band length the stretch resample's one-hot weight
+    # matrix (O(Tb * stretch_len) per band) no longer pays: whole-file
+    # offline calls switch to the linear-memory gather form (the same
+    # trade the TA pipeline makes, PQMFPitchShiftWrapperTA._ONEHOT_MAX_TB)
+    _ONEHOT_MAX_TB = 2048
+
     def pitchshift_fn(self, state, x):
         """(state, x [1,T] | [B,1,T]) -> (state', y [B, T])."""
         sub = self.decompose(x)  # [B, M, Tb]
         B, _, Tb = sub.shape
         frames_out, FO_max = self._plan(Tb)
+        kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
             Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule,
-            precision=self.precision)
+            precision=self.precision, resample_kind=kind)
         y = self.inverse(shifted)  # [B, 1, T]
         return {"prev_tail": new_tail}, y[:, 0, :]
 
@@ -503,11 +518,12 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         Tb = sub.shape[-1]
         frames_out, FO_max = self._plan(Tb)
         tails = jnp.swapaxes(states["prev_tail"], 0, 1)  # [M, S, L]
+        kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
             Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule,
-            precision=self.precision)
+            precision=self.precision, resample_kind=kind)
         y = self.inverse(shifted)
         return ({"prev_tail": jnp.swapaxes(new_tails, 0, 1)}, y[:, 0, :])
 
@@ -536,12 +552,17 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     accumulated window energy. Zero per-block host round-trips — the
     SURVEY §5 long-context north star.
 
-    x: [1, T] (or [T]); returns (pitch_stream [1, T], recon_stream [1, T]).
+    x: [C, T] (or [T]); returns (pitch_stream [C, T], recon_stream
+    [C, T]). With C > 1 (e.g. a stereo fixture) each channel rides its
+    own serving stream with an independent crossfade state — something
+    the reference cannot do at all (its crossfade is single-stream,
+    batch==1 guarded at 1-PitchShifterWrapper.py:262, and its harness
+    drops to the first channel).
     """
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[None]
-    T = x.shape[-1]
+    C, T = x.shape
     hop = block - (block // 2 if overlap is None else overlap)
     if hop <= 0 or hop > block:
         raise ValueError("overlap must be in [0, block-1]")
@@ -550,21 +571,31 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     xp = jnp.pad(x, ((0, 0), (0, total - T)))
 
     window = S.hann_window(block, x.dtype)
-    framed = S._frame_signal(xp, block, hop, n_frames)  # [1, N, block]
-    blocks = (framed * window)[0][:, None, None, :]     # [N, 1, 1, block]
+    framed = S._frame_signal(xp, block, hop, n_frames)  # [C, N, block]
+    blocks = jnp.swapaxes(framed * window, 0, 1)        # [N, C, block]
 
-    def step(state, blk):
-        state, out = wrapper.pitchshift_fn(state, blk)
-        rec = wrapper.forward_fn(blk)
-        return state, (out[0], rec[0])
+    if C == 1:
+        def step(state, blk):
+            state, out = wrapper.pitchshift_fn(state, blk[:, None, :])
+            rec = wrapper.forward_fn(blk[:, None, :])
+            return state, (out, rec)
 
-    _, (outs, recs) = jax.lax.scan(step, wrapper.init_state(), blocks)
+        state0 = wrapper.init_state()
+    else:
+        def step(states, blk):
+            states, out = wrapper.pitchshift_streams(states, blk)
+            rec = wrapper.forward_fn(blk[:, None, :])
+            return states, (out, rec)
+
+        state0 = wrapper.init_streams(C)
+
+    _, (outs, recs) = jax.lax.scan(step, state0, blocks)  # [N, C, block]
 
     wsq = jnp.broadcast_to(window * window, (n_frames, block))
     norm = S._ola(wsq, block, hop) + 1e-8  # the harness's exact epsilon
-    pitch = S._ola((outs * window)[None], block, hop)[0] / norm
-    recon = S._ola((recs * window)[None], block, hop)[0] / norm
-    return pitch[None, :T], recon[None, :T]
+    pitch = S._ola(jnp.swapaxes(outs * window, 0, 1), block, hop) / norm
+    recon = S._ola(jnp.swapaxes(recs * window, 0, 1), block, hop) / norm
+    return pitch[:, :T], recon[:, :T]
 
 
 # ---------------------------------------------------------------------------

@@ -148,3 +148,31 @@ def test_serving_demo_runs(tmp_path, monkeypatch):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "AOT == live wrapper" in r.stdout
     assert "finite: True" in r.stdout
+
+
+@pytest.fixture(scope="module")
+def short_stereo_wav(tmp_path_factory):
+    """1-second stereo clip (two distinct channels)."""
+    x, sr = read_wav(FLUTE)
+    stereo = np.concatenate([x[:1, :sr], 0.5 * x[:1, sr:2 * sr]], axis=0)
+    p = tmp_path_factory.mktemp("cli_st") / "stereo.wav"
+    write_wav(str(p), stereo, sr)
+    return str(p)
+
+
+def test_blocks_cli_stereo(short_stereo_wav, tmp_path, capsys):
+    """--stereo keeps both channels end-to-end (per-channel serving
+    streams; the reference mixes down)."""
+    from pqmf_tpu.cli import blocks
+
+    blocks.main([short_stereo_wav, "--block", "1024", "--n_band", "8",
+                 "--buffer", "1024", "--seed", "1", "--stereo",
+                 "--out_prefix", str(tmp_path / "st")])
+    out = capsys.readouterr().out
+    assert "RMS orig:" in out and "RMS full_pitch:" in out
+    y, _ = read_wav(str(tmp_path / "st_pitchshifter.wav"))
+    assert y.shape[0] == 2 and np.isfinite(y).all()
+    r, _ = read_wav(str(tmp_path / "st_recontructed.wav"))
+    assert r.shape[0] == 2
+    f, _ = read_wav(str(tmp_path / "nonblock_pitchshifter.wav"))
+    assert f.shape[0] == 2

@@ -548,3 +548,56 @@ def test_flagship_pipeline_composes_with_pretrained_bank():
     y0, y1 = np.asarray(y0), np.asarray(y1)
     assert np.isfinite(y1).all()
     assert np.abs(y1 - y0).max() > 1e-4
+
+
+def test_stream_ola_stereo_matches_per_channel_mono():
+    """stream_ola with [C, T] input == running each channel through its
+    own mono stream_ola (per-channel crossfade state via serving
+    streams); the reference drops to one channel here."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
+
+    rng = np.random.default_rng(23)
+    block, n_band, buffer = 512, 4, 512
+    T = 1800
+    x = rng.standard_normal((2, T)).astype(np.float32) * 0.1
+    w = PQMFPitchShiftWrapper(70, n_band, buffer,
+                              shifts_in_semitones=[2, -2, 5, -5])
+
+    pitch, recon = stream_ola(w, x, block)
+    assert pitch.shape == (2, T) and recon.shape == (2, T)
+    for c in range(2):
+        pc, rc = stream_ola(w, x[c:c + 1], block)
+        np.testing.assert_allclose(np.asarray(pitch[c]), np.asarray(pc[0]),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(recon[c]), np.asarray(rc[0]),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_flagship_whole_file_uses_linear_memory_path():
+    """Whole-file offline inputs (Tb past _ONEHOT_MAX_TB) must route the
+    stretch resample through the linear-memory gather form — the one-hot
+    weight matrix is O(Tb * stretch_len) and reaches gigabytes on real
+    files (r3: a 442k-sample stereo file took the box to swap) — and the
+    two forms must agree."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100,
+                              shifts_in_semitones=[0, -3, 5, 12, -7, 2,
+                                                   1, -1, 4, -5, 3, -2,
+                                                   6, -6, 7, -24],
+                              max_buffer_size=None)
+    T = 16 * (w._ONEHOT_MAX_TB + 256)  # just past the one-hot limit
+    x = np.random.default_rng(29).standard_normal(
+        (1, 1, T)).astype(np.float32) * 0.3
+    state, y_gather = w.pitchshift_fn(w.init_state(), x)
+    assert np.asarray(y_gather).shape == (1, T)
+    # force the one-hot form at the same length for equality
+    w2 = PQMFPitchShiftWrapper(100, 16, 8192, 44100,
+                               shifts_in_semitones=w.shifts,
+                               max_buffer_size=None)
+    w2._ONEHOT_MAX_TB = 10 ** 9
+    _, y_onehot = w2.pitchshift_fn(w2.init_state(), x)
+    a, b = np.asarray(y_onehot), np.asarray(y_gather)
+    err = ((a - b) ** 2).sum()
+    snr = 10 * np.log10(max((a ** 2).sum(), 1e-30) / max(err, 1e-30))
+    assert snr > 90, f"gather-vs-onehot stretch resample parity {snr:.1f} dB"
