@@ -259,8 +259,9 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
     params pytree. Shipped banks — all trained on white noise only with
     :func:`finetune_filterbank` (lr=2e-5, steps=8000, batch=4,
     length=8192, lr_schedule="cosine"; the schedule matters, see that
-    docstring). Streaming-path round-trip SNR on flute / violin /
-    flutemulti, worst stopband -59 to -64 dB:
+    docstring), reproducible via ``tools/finetune_bank.py``. Streaming-path
+    round-trip SNR on flute / violin / flutemulti, worst stopband -59 to
+    -64 dB:
 
     - ``hk16_atten100_finetuned``: 98.1 / 84.9 / 102.0 dB
       (designed Kaiser bank: 65.1 / 58.8 / 67.5 dB the same way).
@@ -268,6 +269,9 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
       (designed: 60.9 / 72.8 / 82.0 dB).
     - ``hk32_atten100_finetuned``: 93.6 / 79.9 / 100.5 dB
       (designed: 50.6 / 50.7 / 74.0 dB).
+    - ``hk64_atten100_finetuned``: 84.3 / 75.3 / 97.9 dB
+      (designed: 56.4 / 50.1 / 73.8 dB). The 2048-tap bank needs the
+      longer interior window: length=16384, steps=12000, batch=2.
     """
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                         "data", f"{name}.npz")

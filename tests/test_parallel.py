@@ -341,10 +341,11 @@ def test_finetune_improves_interior_reconstruction():
 
 
 @pytest.mark.parametrize("n_band,bank,name,floor,designed", [
-    # all three committed banks use finetune_filterbank(lr=2e-5,
-    # steps=8000, batch=4, length=8192, lr_schedule="cosine") — the
-    # constant-lr runs plateau well short of these (see the training
-    # docstring). Measured (CPU, identical on-chip within 0.1 dB):
+    # committed banks use finetune_filterbank(lr=2e-5, steps=8000,
+    # batch=4, length=8192, lr_schedule="cosine") except where noted —
+    # the constant-lr runs plateau well short of these (see the training
+    # docstring); reproduce any row with tools/finetune_bank.py.
+    # Measured (CPU, identical on-chip within 0.1 dB):
     # M=16: 98.1 / 84.9 / 102.0 dB vs designed 65.1 / 58.8 / 67.5
     (16, None, "flute.wav", 94.0, 65.1),
     (16, None, "violin_bow_nonvib_f4_44100.wav", 81.0, 58.8),
@@ -359,6 +360,13 @@ def test_finetune_improves_interior_reconstruction():
     (32, "hk32_atten100_finetuned", "violin_bow_nonvib_f4_44100.wav",
      76.0, 50.7),
     (32, "hk32_atten100_finetuned", "flutemulti.wav", 96.0, 74.0),
+    # M=64 (2048-tap bank; longer-interior recipe length=16384,
+    # steps=12000, batch=2): 84.3 / 75.3 / 97.9 vs designed
+    # 56.4 / 50.1 / 73.8
+    (64, "hk64_atten100_finetuned", "flute.wav", 81.0, 56.4),
+    (64, "hk64_atten100_finetuned", "violin_bow_nonvib_f4_44100.wav",
+     72.0, 50.1),
+    (64, "hk64_atten100_finetuned", "flutemulti.wav", 94.0, 73.8),
 ])
 def test_pretrained_bank_beats_designed_on_every_fixture(n_band, bank, name,
                                                          floor, designed):
