@@ -54,24 +54,13 @@ def main():
 
     import numpy as np
 
-    from pqmf_tpu.parallel.training import finetune_filterbank
-    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
-    from pqmf_tpu.utils.audio import read_wav
+    from pqmf_tpu.parallel.training import (finetune_filterbank,
+                                            streaming_roundtrip_snr)
 
     M = args.n_band
-    x, _ = read_wav(args.wav)
-    x = x[:1, : (x.shape[-1] // M) * M]
-
-    def flute_snr(sp):
-        y = np.asarray(sp.roundtrip(x[None]))
-        d = sp.centered_advance
-        ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
-        return 10 * np.log10(float((xa ** 2).sum())
-                             / float(((ya - xa) ** 2).sum()))
-
-    sp = StreamingPQMF(args.atten, M)
-    print(f"designed bank   : {flute_snr(sp):6.2f} dB round-trip SNR "
-          f"({args.wav.rsplit('/', 1)[-1]})")
+    print(f"designed bank   : "
+          f"{streaming_roundtrip_snr(None, args.atten, M, args.wav):6.2f} "
+          f"dB round-trip SNR ({args.wav.rsplit('/', 1)[-1]})")
 
     print(f"fine-tuning {args.steps} steps "
           f"(Adam {args.lr} {args.lr_schedule}, "
@@ -83,8 +72,9 @@ def main():
         lr_schedule=args.lr_schedule)
     print(f"interior loss   : {losses[0]:.3e} -> {losses[-1]:.3e}")
 
-    sp.set_weights(params, *kernels_from_params(params))
-    print(f"fine-tuned bank : {flute_snr(sp):6.2f} dB round-trip SNR")
+    print(f"fine-tuned bank : "
+          f"{streaming_roundtrip_snr(params, args.atten, M, args.wav):6.2f} "
+          f"dB round-trip SNR")
 
     if args.out:
         np.savez_compressed(args.out, hk=np.asarray(params["hk"]),

@@ -186,9 +186,10 @@ def main(argv=None):
     wrapper.reset()
     wrapper.max_buffer_size = None
     T_full = (wav.shape[-1] // args.n_band) * args.n_band
-    # multichannel rides the batch axis ([C, 1, T]); like the reference,
-    # batch > 1 runs without the single-stream crossfade (irrelevant for
-    # one whole-file call: there is no previous block to blend against)
+    # multichannel rides the batch axis ([C, 1, T]); like the reference
+    # (batch==1 guard, 1-PitchShifterWrapper.py:262), batch > 1 skips the
+    # crossfade — so unlike the mono path, the first band_overlap sub-band
+    # samples are NOT faded in against the zero-initialized prev_tail
     full_in = wav[:, :T_full] if n_ch == 1 else wav[:, None, :T_full]
     full_out = np.asarray(
         wrapper.pitchshift(full_in))[:, : wav.shape[-1] - pad]

@@ -34,6 +34,7 @@ from pqmf_tpu.ops import filterbank as fb
 __all__ = ["analysis_from_hk", "synthesis_from_hk", "reconstruction_loss",
            "make_finetune_loss", "finetune_filterbank",
            "load_pretrained_bank", "available_pretrained_banks",
+           "streaming_roundtrip_snr",
            "TrainState", "make_train_step",
            "TrainablePQMF", "save_train_state", "load_train_state"]
 
@@ -282,6 +283,32 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
     with np.load(path) as z:
         return fb.params_from_hk(z["hk"],
                                  h=z["h"] if "h" in z.files else None)
+
+
+def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
+                            wav_path: str) -> float:
+    """Group-delay-aligned round-trip SNR (dB) of a wav file through
+    ``StreamingPQMF.roundtrip`` with ``params`` installed (``None`` = the
+    designed Kaiser bank). Multichannel fixtures are mono-averaged first
+    (2-TestBlocks.py:30). This is THE measurement behind every committed
+    fine-tuned-bank number (docstring above, README, the pins in
+    tests/test_parallel.py) — keep it single-sourced so the alignment
+    math can't drift between the tool, the demo, and the tests."""
+    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
+    from pqmf_tpu.utils.audio import read_wav
+
+    x, _ = read_wav(wav_path)
+    if x.shape[0] > 1:
+        x = x.mean(axis=0, keepdims=True)
+    x = x[:1, : (x.shape[-1] // n_band) * n_band].astype(np.float32)
+    sp = StreamingPQMF(attenuation, n_band)
+    if params is not None:
+        sp.set_weights(params, *kernels_from_params(params))
+    y = np.asarray(sp.roundtrip(x[None]))
+    d = sp.centered_advance
+    ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
+    return float(10 * np.log10(float((xa ** 2).sum())
+                               / float(((ya - xa) ** 2).sum())))
 
 
 def available_pretrained_banks() -> list[str]:

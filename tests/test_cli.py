@@ -176,3 +176,28 @@ def test_blocks_cli_stereo(short_stereo_wav, tmp_path, capsys):
     assert r.shape[0] == 2
     f, _ = read_wav(str(tmp_path / "nonblock_pitchshifter.wav"))
     assert f.shape[0] == 2
+
+
+def test_finetune_bank_tool_smoke(tmp_path, capsys):
+    """tools/finetune_bank.py end-to-end on CPU with a 2-step run: prints
+    designed + tuned SNR for all three fixtures and writes a loadable npz
+    (extension appended when missing — np.savez would do it silently)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "tools"))
+    try:
+        import finetune_bank
+    finally:
+        sys.path.pop(0)
+
+    out = tmp_path / "bank"  # no .npz on purpose
+    finetune_bank.main(["--n_band", "8", "--steps", "2", "--batch", "2",
+                        "--length", "4096", "--out", str(out), "--cpu"])
+    text = capsys.readouterr().out
+    assert text.count("flute.wav") == 2  # designed + fine-tuned
+    saved = tmp_path / "bank.npz"
+    assert f"saved {saved}" in text
+    z = np.load(str(saved))
+    # M=8 @ atten=100: 189-tap prototype -> pow-2 pad to 256 (BASELINE.md)
+    assert z["hk"].shape == (8, 256) and np.isfinite(z["hk"]).all()

@@ -377,23 +377,13 @@ def test_pretrained_bank_beats_designed_on_every_fixture(n_band, bank, name,
     multi-band-count evidence that the noise-trained interior loss
     generalizes across program material (VERDICT r2 item 6), not a
     flute-specific fit."""
-    from pqmf_tpu.parallel.training import load_pretrained_bank
-    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
-    from pqmf_tpu.utils.audio import read_wav
+    from pqmf_tpu.parallel.training import (load_pretrained_bank,
+                                            streaming_roundtrip_snr)
 
-    x, _ = read_wav(f"/root/reference/audio/{name}")
-    if x.shape[0] > 1:
-        x = x.mean(axis=0, keepdims=True)  # mono-average, 2-TestBlocks.py:30
-    x = x[:1, : (x.shape[-1] // n_band) * n_band].astype(np.float32)
     params = (load_pretrained_bank() if bank is None
               else load_pretrained_bank(bank))
-    sp = StreamingPQMF(100, n_band)
-    sp.set_weights(params, *kernels_from_params(params))
-    y = np.asarray(sp.roundtrip(x[None]))
-    d = sp.centered_advance
-    ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
-    snr = 10 * np.log10(float((xa ** 2).sum())
-                        / float(((ya - xa) ** 2).sum()))
+    snr = streaming_roundtrip_snr(params, 100, n_band,
+                                  f"/root/reference/audio/{name}")
     assert snr > floor, f"{name}: fine-tuned bank {snr:.2f} dB"
     assert snr > designed + 10, (
         f"{name}: fine-tuned bank {snr:.2f} dB is not clearly above the "

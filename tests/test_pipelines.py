@@ -587,6 +587,9 @@ def test_flagship_whole_file_uses_linear_memory_path():
                                                    6, -6, 7, -24],
                               max_buffer_size=None)
     T = 16 * (w._ONEHOT_MAX_TB + 256)  # just past the one-hot limit
+    # pin that this input really selects the gather form (the selection
+    # rule in _pitchshift_plan), whatever the threshold's current value
+    assert T // w.n_band > w._ONEHOT_MAX_TB
     x = np.random.default_rng(29).standard_normal(
         (1, 1, T)).astype(np.float32) * 0.3
     state, y_gather = w.pitchshift_fn(w.init_state(), x)

@@ -37,23 +37,12 @@ AUDIO_DIR = "/root/reference/audio"
 
 
 def streaming_snr(params, attenuation, n_band, name):
-    """Round-trip SNR (dB) through StreamingPQMF with `params` installed
-    (None = the designed Kaiser bank), group-delay aligned."""
-    from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
-    from pqmf_tpu.utils.audio import read_wav
+    """Round-trip SNR (dB) on a bundled fixture — the shared measurement
+    behind every committed-bank number."""
+    from pqmf_tpu.parallel.training import streaming_roundtrip_snr
 
-    x, _ = read_wav(os.path.join(AUDIO_DIR, name))
-    if x.shape[0] > 1:
-        x = x.mean(axis=0, keepdims=True)  # mono-average, 2-TestBlocks.py:30
-    x = x[:1, : (x.shape[-1] // n_band) * n_band].astype(np.float32)
-    sp = StreamingPQMF(attenuation, n_band)
-    if params is not None:
-        sp.set_weights(params, *kernels_from_params(params))
-    y = np.asarray(sp.roundtrip(x[None]))
-    d = sp.centered_advance
-    ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
-    return 10 * np.log10(float((xa ** 2).sum())
-                         / float(((ya - xa) ** 2).sum()))
+    return streaming_roundtrip_snr(params, attenuation, n_band,
+                                   os.path.join(AUDIO_DIR, name))
 
 
 def main(argv=None):
@@ -98,8 +87,10 @@ def main(argv=None):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "pqmf_tpu", "data",
         f"hk{args.n_band}_atten{args.attenuation:g}_finetuned.npz")
-    np.savez(out, hk=np.asarray(params["hk"]),
-             h=np.asarray(params["h"]))
+    if not out.endswith(".npz"):
+        out += ".npz"  # np.savez appends it anyway; print the real name
+    np.savez_compressed(out, hk=np.asarray(params["hk"]),
+                        h=np.asarray(params["h"]))
     print(f"saved {out}")
 
 
