@@ -149,6 +149,21 @@ def main():
     ok &= check(f"fine-tuned M=8 bank flute SNR {ft8_snr:.1f} dB (need > 90)",
                 90.0 - ft8_snr, 0.0)
 
+    # the M=64 committed bank through the G=2 grouped Mosaic kernels
+    # (CPU-measured 84.3 dB flute; three-fixture floors in test_parallel)
+    ft64 = StreamingPQMF(100, 64, use_pallas=True)
+    p64 = load_pretrained_bank("hk64_atten100_finetuned")
+    ft64.set_weights(p64, *kernels_from_params(p64))
+    xw, _ = read_wav("/root/reference/audio/flute.wav")
+    xw = xw[:1, : (xw.shape[-1] // 64) * 64].astype(np.float32)
+    yf = np.asarray(ft64.roundtrip(xw[None]))
+    d = ft64.centered_advance
+    ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
+    ft64_snr = 10 * np.log10(float((xa ** 2).sum())
+                             / float(((ya - xa) ** 2).sum()))
+    ok &= check(f"fine-tuned M=64 bank flute SNR {ft64_snr:.1f} dB "
+                f"(need > 80)", 80.0 - ft64_snr, 0.0)
+
     # bf16x3 tier (split-operand 3-pass dots): ~2^-16 relative of HIGHEST
     x3q = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
     r_hi = palq.roundtrip(x)
