@@ -286,14 +286,16 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
 
 
 def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
-                            wav_path: str) -> float:
+                            wav_path: str, **streaming_kwargs) -> float:
     """Group-delay-aligned round-trip SNR (dB) of a wav file through
     ``StreamingPQMF.roundtrip`` with ``params`` installed (``None`` = the
     designed Kaiser bank). Multichannel fixtures are mono-averaged first
-    (2-TestBlocks.py:30). This is THE measurement behind every committed
-    fine-tuned-bank number (docstring above, README, the pins in
-    tests/test_parallel.py) — keep it single-sourced so the alignment
-    math can't drift between the tool, the demo, and the tests."""
+    (2-TestBlocks.py:30). Extra kwargs reach the ``StreamingPQMF``
+    constructor (e.g. ``use_pallas=True`` for the on-chip checks). This
+    is THE measurement behind every committed fine-tuned-bank number
+    (docstring above, README, the pins in tests/test_parallel.py) — keep
+    it single-sourced so the alignment math can't drift between the
+    tool, the demo, the tests, and tools/tpu_checks.py."""
     from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
     from pqmf_tpu.utils.audio import read_wav
 
@@ -301,7 +303,7 @@ def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
     if x.shape[0] > 1:
         x = x.mean(axis=0, keepdims=True)
     x = x[:1, : (x.shape[-1] // n_band) * n_band].astype(np.float32)
-    sp = StreamingPQMF(attenuation, n_band)
+    sp = StreamingPQMF(attenuation, n_band, **streaming_kwargs)
     if params is not None:
         sp.set_weights(params, *kernels_from_params(params))
     y = np.asarray(sp.roundtrip(x[None]))

@@ -105,6 +105,14 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
     return win, hop, n_fft, band_overlap
 
 
+# past this sub-band length the stretch/resample one-hot weight matrices
+# (O(Tb * stretch_len) per band) no longer pay: whole-file offline calls
+# switch to the linear-memory gather forms. ONE crossover for both
+# pipelines — retuning it must move the flagship and the TA variant
+# together (r3 review: two independent copies could silently diverge)
+_ONEHOT_MAX_TB_DEFAULT = 2048
+
+
 # ---------------------------------------------------------------------------
 # fused per-band phase-vocoder shift (the hot path)
 # ---------------------------------------------------------------------------
@@ -462,11 +470,9 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
             self._plans[Tb] = plan
         return plan
 
-    # past this sub-band length the stretch resample's one-hot weight
-    # matrix (O(Tb * stretch_len) per band) no longer pays: whole-file
-    # offline calls switch to the linear-memory gather form (the same
-    # trade the TA pipeline makes, PQMFPitchShiftWrapperTA._ONEHOT_MAX_TB)
-    _ONEHOT_MAX_TB = 2048
+    # the shared one-hot/gather crossover (module docstring at the
+    # constant; same trade as PQMFPitchShiftWrapperTA)
+    _ONEHOT_MAX_TB = _ONEHOT_MAX_TB_DEFAULT
 
     def pitchshift_fn(self, state, x):
         """(state, x [1,T] | [B,1,T]) -> (state', y [B, T])."""
@@ -817,9 +823,9 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         return plan
 
     # the one-hot resample materializes an O(Tb * Lbuf) intermediate per
-    # band; past this band length (~86 MB of transient per band at f32)
-    # the pipeline switches to the linear-memory gather form
-    _ONEHOT_MAX_TB = 2048
+    # band (~86 MB of transient per band at f32 by the crossover); the
+    # threshold is shared with the flagship wrapper
+    _ONEHOT_MAX_TB = _ONEHOT_MAX_TB_DEFAULT
 
     def _pitchshifter_impl(self, x, hkf, hki, rates, fo, ls, zero, W,
                            start, FO_max, pad_left, Lbuf, resample_kind):

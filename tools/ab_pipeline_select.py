@@ -47,30 +47,38 @@ def main():
           f"dispatch_floor={dispatch_floor_ms():.1f} ms  "
           f"chain={args.chain}  buffer={args.buffer}")
 
-    def make_arm(use_take):
+    def step(v):
+        # chain through the carried tail so consecutive iterations
+        # depend on each other (no across-iteration overlap illusion)
+        tail, y = w.pitchshift_fn({"prev_tail": tail0 + v[0, 0, :1]}, v)
+        return v + (y[:, None, :] * 1e-6
+                    + tail["prev_tail"].sum() * 1e-9)
+
+    def measure(use_take):
+        # pitchshift_fn calls the jit-decorated _fused_band_pitchshift,
+        # whose trace cache is keyed on avals/static args, NOT on the
+        # module global — and chained_ms re-jits its chain around `step`
+        # at call time. Pin the global and clear ALL trace caches for
+        # every single measurement, or one arm silently re-measures the
+        # other's lowering (found in r3 review: the original tool's two
+        # arms compared identical programs; ab_stretch_select dodges the
+        # same trap via __wrapped__). Retrace cost per call is absorbed
+        # by the persistent compilation cache.
+        jax.clear_caches()
         pv._USE_TAKE = use_take
+        try:
+            return chained_ms(step, x, n=args.chain, repeats=2)
+        finally:
+            pv._USE_TAKE = False
 
-        @jax.jit
-        def fn(v):
-            # chain through the carried tail so consecutive iterations
-            # depend on each other (no across-iteration overlap illusion)
-            tail, y = w.pitchshift_fn({"prev_tail": tail0 + v[0, 0, :1]},
-                                      v)
-            return v + (y[:, None, :] * 1e-6
-                        + tail["prev_tail"].sum() * 1e-9)
-
-        fn(x).block_until_ready()  # trace NOW, global pinned
-        pv._USE_TAKE = False
-        return fn
-
-    arms = [("onehot", make_arm(False)), ("take", make_arm(True))]
+    arms = [("onehot", False), ("take", True)]
     results = {name: [] for name, _ in arms}
     for rep in range(args.reps):
-        for name, fn in arms:
-            ms = chained_ms(fn, x, n=args.chain, repeats=2)
+        for name, use_take in arms:
+            ms = measure(use_take)
             results[name].append(ms)
             print(f"  rep{rep} {name:7s} {ms:8.4f} ms")
-    o, t = min(results["onehot"]), min(results["take"])
+    o, t = np.nanmin(results["onehot"]), np.nanmin(results["take"])
     print(f"flagship step: onehot {o:.4f} ms, take {t:.4f} ms, "
           f"take/onehot = {t / o:.2f}x")
 

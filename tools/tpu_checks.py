@@ -109,60 +109,33 @@ def main():
     ok &= check("single-call tail tiles past analysis == two-call",
                 float(jnp.abs(one - two).max()), 0.0)
 
-    # the committed fine-tuned bank beats the designed reconstruction
-    # natively on the chip (README "beating the design")
-    from pqmf_tpu.parallel.training import load_pretrained_bank
-    from pqmf_tpu.streaming import kernels_from_params
-    from pqmf_tpu.utils.audio import read_wav
+    # the committed fine-tuned banks beat the designed reconstruction
+    # natively on the chip (README "beating the design") through the
+    # Mosaic kernels; the measurement is the single-sourced helper so the
+    # on-chip numbers can't drift from the committed-bank pins
+    from pqmf_tpu.parallel.training import (load_pretrained_bank,
+                                            streaming_roundtrip_snr)
 
-    ftq = StreamingPQMF(100, 16, use_pallas=True)
-    p_ft = load_pretrained_bank()
-    ftq.set_weights(p_ft, *kernels_from_params(p_ft))
-    # all THREE bundled fixtures (CPU-measured: 98.1 / 84.9 / 102.0 dB) —
+    # M=16 on all THREE bundled fixtures (CPU: 98.1 / 84.9 / 102.0 dB) —
     # the white-noise-trained bank must generalize across program material
+    p_ft = load_pretrained_bank()
     for fix in ("flute.wav", "violin_bow_nonvib_f4_44100.wav",
                 "flutemulti.wav"):
-        xw, _ = read_wav(f"/root/reference/audio/{fix}")
-        if xw.shape[0] > 1:
-            xw = xw.mean(axis=0, keepdims=True)
-        xw = xw[:1, : (xw.shape[-1] // 16) * 16].astype(np.float32)
-        yf = np.asarray(ftq.roundtrip(xw[None]))
-        d = ftq.centered_advance
-        ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
-        ft_snr = 10 * np.log10(float((xa ** 2).sum())
-                               / float(((ya - xa) ** 2).sum()))
+        ft_snr = streaming_roundtrip_snr(
+            p_ft, 100, 16, f"/root/reference/audio/{fix}", use_pallas=True)
         ok &= check(f"fine-tuned bank {fix} SNR {ft_snr:.1f} dB (need > 80)",
                     80.0 - ft_snr, 0.0)
 
-    # the M=8 committed bank too (CPU-measured 95.0 dB flute; one fixture
-    # suffices on-chip — the full 3-fixture floors run in test_parallel)
-    ft8 = StreamingPQMF(100, 8, use_pallas=True)
-    p8 = load_pretrained_bank("hk8_atten100_finetuned")
-    ft8.set_weights(p8, *kernels_from_params(p8))
-    xw, _ = read_wav("/root/reference/audio/flute.wav")
-    xw = xw[:1, : (xw.shape[-1] // 8) * 8].astype(np.float32)
-    yf = np.asarray(ft8.roundtrip(xw[None]))
-    d = ft8.centered_advance
-    ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
-    ft8_snr = 10 * np.log10(float((xa ** 2).sum())
-                            / float(((ya - xa) ** 2).sum()))
-    ok &= check(f"fine-tuned M=8 bank flute SNR {ft8_snr:.1f} dB (need > 90)",
-                90.0 - ft8_snr, 0.0)
-
-    # the M=64 committed bank through the G=2 grouped Mosaic kernels
-    # (CPU-measured 84.3 dB flute; three-fixture floors in test_parallel)
-    ft64 = StreamingPQMF(100, 64, use_pallas=True)
-    p64 = load_pretrained_bank("hk64_atten100_finetuned")
-    ft64.set_weights(p64, *kernels_from_params(p64))
-    xw, _ = read_wav("/root/reference/audio/flute.wav")
-    xw = xw[:1, : (xw.shape[-1] // 64) * 64].astype(np.float32)
-    yf = np.asarray(ft64.roundtrip(xw[None]))
-    d = ft64.centered_advance
-    ya, xa = yf[0, 0][d:], xw[0][: xw.shape[-1] - d]
-    ft64_snr = 10 * np.log10(float((xa ** 2).sum())
-                             / float(((ya - xa) ** 2).sum()))
-    ok &= check(f"fine-tuned M=64 bank flute SNR {ft64_snr:.1f} dB "
-                f"(need > 80)", 80.0 - ft64_snr, 0.0)
+    # M=8 (CPU 95.0 dB flute) and M=64 through the G=2 grouped kernels
+    # (CPU 84.3 dB); one fixture suffices on-chip — the full 3-fixture
+    # floors run in test_parallel
+    for m, bank, floor in [(8, "hk8_atten100_finetuned", 90.0),
+                           (64, "hk64_atten100_finetuned", 80.0)]:
+        snr_m = streaming_roundtrip_snr(
+            load_pretrained_bank(bank), 100, m,
+            "/root/reference/audio/flute.wav", use_pallas=True)
+        ok &= check(f"fine-tuned M={m} bank flute SNR {snr_m:.1f} dB "
+                    f"(need > {floor:.0f})", floor - snr_m, 0.0)
 
     # bf16x3 tier (split-operand 3-pass dots): ~2^-16 relative of HIGHEST
     x3q = StreamingPQMF(100, 16, use_pallas=True, precision="bf16x3")
