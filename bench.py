@@ -162,6 +162,34 @@ def bench_pitchshift(n_blocks=1024):
                      n_blocks, 8192)
 
 
+def bench_wholefile_pitchshift(n_calls=4, T=16 * 81920):
+    """Offline whole-file flagship pitchshift (~29.7 s of audio in ONE
+    call; Tb = 81920 is far past the one-hot crossover, so this times the
+    r3 linear-memory gather resample path the block benches never touch).
+    Scanned n_calls times with carried crossfade state, one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(ATTEN, N_BAND, 8192, SR,
+                              max_buffer_size=None)
+    files = jnp.asarray(
+        0.1 * np.random.default_rng(3).standard_normal(
+            (n_calls, 1, 1, T)).astype(np.float32))
+    files2 = jnp.concatenate([files, files])
+    state = w.init_state()
+
+    @jax.jit
+    def run(state, files):
+        return jax.lax.scan(
+            lambda s, b: w.pitchshift_fn(s, b), state, files)
+
+    return _scan_rtf(lambda: float(run(state, files)[1].sum()),
+                     lambda: float(run(state, files2)[1].sum()),
+                     n_calls, T)
+
+
 def bench_ta_pitchshift(n_blocks=1024):
     """Torchaudio-variant per-band pitch shift (fused single-program path):
     stateless, scanned over n_blocks 8192-sample blocks."""
@@ -278,6 +306,17 @@ def bench_block_latency(blocks=(512, 1024, 2048, 4096, 8192), repeats=30):
 
 
 def main():
+    # persistent compile cache: identical programs (most of this bench
+    # across runs) reload instead of recompiling — without it a cold run
+    # pays ~20-40 s per program through the remote-compile tunnel
+    import os
+
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jaxcomp"))
+
     n = int(SECONDS * SR) // N_BAND * N_BAND
     x = _signal(n)
     rtf, snr, platform = bench_jax(x)
@@ -325,7 +364,10 @@ def main():
                      # README's batching mitigation at its measured upper
                      # end), fewer blocks to bound bench wall time
                      ("serving_64stream_aggregate", lambda:
-                      bench_streams(n_streams=64, n_blocks=128))):
+                      bench_streams(n_streams=64, n_blocks=128)),
+                     # offline whole-file calls (the linear-memory gather
+                     # resample path, new in r3)
+                     ("wholefile_pitchshift", bench_wholefile_pitchshift)):
         try:
             corrected, raw, window_ok = fn()
             results[f"{name}_rtf"] = round(corrected, 1)
