@@ -82,9 +82,9 @@ def bench_jax(x, chain=400, precision="highest"):
     best = _best_seconds(lambda: float(chained(xb).sum()), REPEATS)
     per_call = best / chain
     # the centered cached round trip delays its output by a constant
-    # pq.centered_advance samples (streaming.py latency bookkeeping);
+    # pq.centered_delay samples (streaming.py latency bookkeeping);
     # align before the SNR like the parity tests' best_aligned_snr does
-    d = pq.centered_advance
+    d = pq.centered_delay
     ya = np.asarray(y)[0, 0][d:]
     xa = x[: len(x) - d]
     snr = 10 * np.log10(float(np.sum(xa ** 2))
@@ -188,6 +188,30 @@ def bench_wholefile_pitchshift(n_calls=4, T=16 * 81920):
     return _scan_rtf(lambda: float(run(state, files)[1].sum()),
                      lambda: float(run(state, files2)[1].sum()),
                      n_calls, T)
+
+
+def bench_stream_ola(T=16 * 40960):
+    """Whole-file in-graph OLA harness (`pipelines.stream_ola`, the
+    SURVEY §5 long-context north star): the reference 2-TestBlocks
+    harness — Hann-windowed 4096/2048 overlapping blocks, scanned
+    stateful pitchshift + roundtrip, windowed OLA ÷ Σwin² — as ONE
+    dispatch over ~14.9 s of audio. Self-calibrated by differencing a
+    T- and a 2T-sample call (same program, scan length doubles)."""
+    import jax.numpy as jnp
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
+
+    w = PQMFPitchShiftWrapper(ATTEN, N_BAND, 4096, SR,
+                              max_buffer_size=None)
+    rng = np.random.default_rng(7)
+    x1 = jnp.asarray(0.1 * rng.standard_normal((1, T)).astype(np.float32))
+    x2 = jnp.asarray(0.1 * rng.standard_normal((1, 2 * T)).astype(np.float32))
+
+    def run(x):
+        pitch, recon = stream_ola(w, x, block=4096, overlap=2048)
+        return float(pitch.sum()) + float(recon.sum())
+
+    return _scan_rtf(lambda: run(x1), lambda: run(x2), 1, T)
 
 
 def bench_ta_pitchshift(n_blocks=1024):
@@ -339,8 +363,13 @@ def main():
         sp_ft = StreamingPQMF(ATTEN, N_BAND)
         sp_ft.set_weights(p_ft, *kernels_from_params(p_ft))
         y_ft = np.asarray(sp_ft.roundtrip(jnp.asarray(x)[None, None, :]))
-        d = sp_ft.centered_advance
+        d = sp_ft.centered_delay
         ya, xa = y_ft[0, 0][d:], x[: len(x) - d]
+        # steady-state, matching streaming_roundtrip_snr's r4 definition:
+        # one bank length trimmed per edge (the edge transient is an
+        # artifact of the signal boundary, not the bank)
+        t = int(sp_ft.params["hk"].shape[-1])
+        ya, xa = ya[t:-t], xa[t:-t]
         snr_ft = 10 * np.log10(float(np.sum(xa ** 2))
                                / float(np.sum((ya - xa) ** 2)))
     except Exception:
@@ -367,7 +396,10 @@ def main():
                       bench_streams(n_streams=64, n_blocks=128)),
                      # offline whole-file calls (the linear-memory gather
                      # resample path, new in r3)
-                     ("wholefile_pitchshift", bench_wholefile_pitchshift)):
+                     ("wholefile_pitchshift", bench_wholefile_pitchshift),
+                     # the in-graph OLA harness (one dispatch per FILE:
+                     # pitchshift + roundtrip + window math per block)
+                     ("stream_ola", bench_stream_ola)):
         try:
             corrected, raw, window_ok = fn()
             results[f"{name}_rtf"] = round(corrected, 1)

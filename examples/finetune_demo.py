@@ -8,10 +8,12 @@ reconstruction loss + stopband penalty (parallel.training.
 make_finetune_loss) finds banks the Kaiser family can't express:
 
     designed (atten=100, 16 bands): 65.1 dB flute.wav round trip
-    fine-tuned (constant lr, 2000 steps, ~1 min of TPU): 84.4 dB
-    fine-tuned (cosine decay, 8000 steps — the committed recipe): 98.1 dB
-    (worst stopband: -107 dB -> ~-60 dB; the committed cosine runs ship
-    as pqmf_tpu/data/hk{8,16,32}_atten100_finetuned.npz)
+    fine-tuned (cosine decay, 8000 steps — the committed recipe):
+    104.9 dB steady-state (worst stopband: -107 dB -> ~-60 dB; the
+    committed cosine runs ship as
+    pqmf_tpu/data/hk{8,16,32,64}_atten100_finetuned.npz; SNRs per
+    parallel.training.streaming_roundtrip_snr's round-4 steady-state
+    definition)
 
 Usage:
     python examples/finetune_demo.py --cpu --steps 100      # quick look

@@ -96,10 +96,14 @@ class PQMF:
                  n_channels: int = 1, precision: str = "highest",
                  use_pallas="auto", mesh=None):
         if polyphase:
+            # a ValueError, not an assert: under `python -O` a stripped
+            # assert lets construction proceed with empty [M, M, 0]
+            # polyphase matrices -> silently wrong output
             power = math.log2(n_band)
-            assert power == math.floor(power), (
-                "n_band must be a power of 2 for the polyphase algorithm"
-            )
+            if power != math.floor(power):
+                raise ValueError(
+                    "n_band must be a power of 2 for the polyphase "
+                    f"algorithm, got {n_band}")
         self.n_band = n_band
         self.attenuation = attenuation
         self.polyphase = polyphase

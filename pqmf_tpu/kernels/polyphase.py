@@ -51,16 +51,30 @@ def pallas_available() -> bool:
 def supports(n_band: int, halos=()) -> bool:
     """Shape constraints for the native kernels.
 
-    - ``n_band % 8 == 0``: the im2col scratch stores are sublane-aligned
-      per phase row group (f32 sublane = 8).
-    - every halo ``L`` (taps per phase: P/M for the polyphase kernels,
-      ceil(K/M) / K for the cached analysis/synthesis convs) must fit in
-      one lane tile (<= 128); longer prototypes fall back to the lax path.
+    A band count runs natively when EITHER path's alignment holds:
+
+    - time-grouped path (the default): ``128 % M == 0`` with
+      ``G = 128/M >= 2`` and ``G*M % 8 == 0`` — the grouped conv's
+      output rows are (time-group, band) pairs, so only the PRODUCT
+      must be sublane-aligned. This admits every power-of-two
+      ``M <= 64`` incl. the reference's small M=2/M=4 configs
+      (pqmf.py:220-224; BASELINE.md's M=4 95-tap prototype) — round 4
+      relaxed the old blanket ``n_band % 8`` gate, which was an
+      ungrouped-path constraint applied to everything.
+    - ungrouped im2col fallback: ``n_band % 8 == 0`` (the frames
+      scratch stores one M-row group per tap, each must be
+      sublane-aligned).
+
+    Additionally every halo ``L`` (taps per phase: P/M for the polyphase
+    kernels, ceil(K/M) / K for the cached analysis/synthesis convs) must
+    fit in one lane tile (<= 128); longer prototypes fall back to lax.
 
     Auto-dispatch callers pass their geometry's halos so unsupported
     shapes degrade to ``lax.conv`` instead of failing inside the kernel.
     """
-    if n_band % 8:
+    G = 128 // n_band if n_band > 0 and 128 % n_band == 0 else 1
+    grouped_ok = G >= 2 and (G * n_band) % 8 == 0
+    if n_band % 8 and not grouped_ok:
         return False
     return all(int(h) <= 128 for h in halos)
 

@@ -37,6 +37,7 @@ import numpy as np
 __all__ = [
     "principal_angle",
     "phase_advance",
+    "phase_advance_reference",
     "stretch_reference",
     "stretch_accumulate",
 ]
@@ -54,9 +55,29 @@ def phase_advance(n_freq: int, hop_length: int, n_fft: int,
     """Expected per-hop phase advance per bin:
     ``omega_k = 2 pi k hop / n_fft`` (VocoderPitchShifter.py:197-198);
     equals torchaudio's ``linspace(0, pi*hop, n_freq)`` when
-    ``n_freq = n_fft//2 + 1``."""
+    ``n_freq = n_fft//2 + 1``. Computed in float64 then cast — use this
+    for the torchaudio-rule paths (stretch_accumulate)."""
     k = np.arange(n_freq)
     return jnp.asarray(2.0 * np.pi * k * hop_length / n_fft, dtype)
+
+
+def phase_advance_reference(n_freq: int, hop_length: int, n_fft: int,
+                            dtype=jnp.float32) -> jax.Array:
+    """Bit-exact transcription of the reference's omega construction
+    (VocoderPitchShifter.py:197-198): float32 STEPWISE
+    ``2.0*pi * k * hop / n_fft``, matching torch's scalar-op rounding at
+    every step. This matters: the float64-then-cast values of
+    :func:`phase_advance` differ by 1 ulp on ~1/3 of the bins, and the
+    stretch's boundary-clamped frames (t1 == t0, reference
+    VocoderPitchShifter.py:212) feed ``princarg(-omega)`` EXACTLY at the
+    ±pi wrap for every other even bin — a 1-ulp omega difference there
+    flips the wrap branch systematically, which measured 25-60 dB
+    against the live pqmfpvoc.ts artifact for shifts whose stretch reads
+    the clamped frame (+6/+7/+9); bit-exact omega restores >100 dB
+    (tests/test_reference_artifact.py)."""
+    k = np.arange(n_freq, dtype=np.float32)
+    om = np.float32(2.0 * math.pi) * k * np.float32(hop_length)
+    return jnp.asarray(om / np.float32(n_fft), dtype)
 
 
 @partial(jax.jit, static_argnames=("frames_out",))

@@ -260,18 +260,19 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
     params pytree. Shipped banks — all trained on white noise only with
     :func:`finetune_filterbank` (lr=2e-5, steps=8000, batch=4,
     length=8192, lr_schedule="cosine"; the schedule matters, see that
-    docstring), reproducible via ``tools/finetune_bank.py``. Streaming-path
-    round-trip SNR on flute / violin / flutemulti, worst stopband -59 to
-    -64 dB:
+    docstring), reproducible via ``tools/finetune_bank.py``.
+    Steady-state streaming-path round-trip SNR on flute / violin /
+    flutemulti (:func:`streaming_roundtrip_snr`, round-4 definition),
+    worst stopband -59 to -64 dB:
 
-    - ``hk16_atten100_finetuned``: 98.1 / 84.9 / 102.0 dB
+    - ``hk16_atten100_finetuned``: 104.9 / 106.9 / 105.1 dB
       (designed Kaiser bank: 65.1 / 58.8 / 67.5 dB the same way).
-    - ``hk8_atten100_finetuned``: 95.0 / 88.2 / 102.2 dB
-      (designed: 60.9 / 72.8 / 82.0 dB).
-    - ``hk32_atten100_finetuned``: 93.6 / 79.9 / 100.5 dB
+    - ``hk8_atten100_finetuned``: 102.2 / 102.3 / 103.3 dB
+      (designed: 60.9 / 72.9 / 82.0 dB).
+    - ``hk32_atten100_finetuned``: 104.6 / 106.4 / 106.6 dB
       (designed: 50.6 / 50.7 / 74.0 dB).
-    - ``hk64_atten100_finetuned``: 84.3 / 75.3 / 97.9 dB
-      (designed: 56.4 / 50.1 / 73.8 dB). The 2048-tap bank needs the
+    - ``hk64_atten100_finetuned``: 101.5 / 102.3 / 106.1 dB
+      (designed: 56.5 / 50.1 / 73.8 dB). The 2048-tap bank needs the
       longer interior window: length=16384, steps=12000, batch=2.
     """
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
@@ -287,15 +288,26 @@ def load_pretrained_bank(name: str = "hk16_atten100_finetuned"):
 
 def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
                             wav_path: str, **streaming_kwargs) -> float:
-    """Group-delay-aligned round-trip SNR (dB) of a wav file through
-    ``StreamingPQMF.roundtrip`` with ``params`` installed (``None`` = the
-    designed Kaiser bank). Multichannel fixtures are mono-averaged first
-    (2-TestBlocks.py:30). Extra kwargs reach the ``StreamingPQMF``
-    constructor (e.g. ``use_pallas=True`` for the on-chip checks). This
-    is THE measurement behind every committed fine-tuned-bank number
-    (docstring above, README, the pins in tests/test_parallel.py) — keep
-    it single-sourced so the alignment math can't drift between the
-    tool, the demo, the tests, and tools/tpu_checks.py."""
+    """Group-delay-aligned STEADY-STATE round-trip SNR (dB) of a wav file
+    through ``StreamingPQMF.roundtrip`` with ``params`` installed
+    (``None`` = the designed Kaiser bank). Multichannel fixtures are
+    mono-averaged first (2-TestBlocks.py:30). Extra kwargs reach the
+    ``StreamingPQMF`` constructor (e.g. ``use_pallas=True`` for the
+    on-chip checks). This is THE measurement behind every committed
+    fine-tuned-bank number (docstring above, README, the pins in
+    tests/test_parallel.py) — keep it single-sourced so the alignment
+    math can't drift between the tool, the demo, the tests, and
+    tools/tpu_checks.py.
+
+    One bank length is trimmed from each edge before the SNR: the
+    centered conv's edge transient is a fixed O(P)-sample artifact of
+    where the file happens to end, not a property of the bank — on
+    flute.wav (which ends loud) the last 512 samples alone carried 95%
+    of the whole-file error, swamping a 104.9 dB interior. This matches
+    the training objective (``make_finetune_loss`` trims the same edge
+    region, for the same documented reason). Round 4 re-pinned every
+    committed number under this definition together with the corrected
+    (256,256) analysis padding."""
     from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
     from pqmf_tpu.utils.audio import read_wav
 
@@ -307,8 +319,10 @@ def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
     if params is not None:
         sp.set_weights(params, *kernels_from_params(params))
     y = np.asarray(sp.roundtrip(x[None]))
-    d = sp.centered_advance
+    d = sp.centered_delay
     ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
+    t = int(sp.params["hk"].shape[-1])  # one bank length per edge
+    ya, xa = ya[t:-t], xa[t:-t]
     return float(10 * np.log10(float((xa ** 2).sum())
                                / float(((ya - xa) ** 2).sum())))
 

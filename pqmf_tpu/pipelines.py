@@ -157,7 +157,11 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     re = re.reshape(M, B, F_, frames)  # [M, B, F, frames]
     im = im.reshape(M, B, F_, frames)
 
-    omega = pv.phase_advance(F_, hop, n_fft, bands.dtype)
+    # reference-rule omega MUST be the f32-stepwise construction: the
+    # stretch's clamped boundary frames evaluate princarg(-omega) exactly
+    # at the ±pi wrap, where the f64-then-cast values' 1-ulp differences
+    # flip branches systematically (see phase_advance_reference docstring)
+    omega = pv.phase_advance_reference(F_, hop, n_fft, bands.dtype)
     trim = n_fft // 2
     one_off = (n_fft - win) // 2  # placement of the 1-frame irfft fallback
     Ci, Si = S.idft_basis(n_fft, bands.dtype)
@@ -238,8 +242,9 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     # a block whose sub-band length cannot cover the crossfade overlap
     # would silently skip the blend and freeze the carried tail (audible
     # seams with no signal) — fail loudly instead, like the streaming
-    # layer's block-parity guard (the reference would crash on the
-    # mismatched fade shapes here, 1-PitchShifterWrapper.py:264-268)
+    # layer's block-parity guard. The reference guards this case too
+    # (`shifted_band_i.size(-1) >= L`, 1-PitchShifterWrapper.py:262) and
+    # silently SKIPS the blend; this build deliberately raises instead.
     wants_crossfade = (crossfade == "batched"
                        or (crossfade is True and B == 1))
     if wants_crossfade and L > 0 and Tb < L:

@@ -87,7 +87,9 @@ def _pvoc_shift_core(x, rate, n_fft, hop, win_length, T, frames_out,
     mag = jnp.sqrt(re * re + im * im + 1e-12)
     phase = jnp.arctan2(im, re)
 
-    omega = pv.phase_advance(re.shape[1], hop, n_fft, x.dtype)
+    # f32-stepwise omega: bit-parity with the reference's construction at
+    # the stretch's ±pi wrap boundaries (see phase_advance_reference)
+    omega = pv.phase_advance_reference(re.shape[1], hop, n_fft, x.dtype)
     if accumulate:
         re_s, im_s = pv.stretch_accumulate(re, im, rate, omega, frames_out)
     else:

@@ -55,10 +55,22 @@ def kernels_from_params(params) -> tuple:
     return jnp.asarray(hkf), jnp.asarray(hki)
 
 
-def centered_padding(kernel: int, stride: int = 1) -> tuple[int, int]:
-    """Centered split of the ``kernel - stride`` total padding, matching
-    ``cached_conv.get_padding`` in "centered" mode."""
-    total = kernel - stride
+def centered_padding(kernel: int) -> tuple[int, int]:
+    """Centered padding of the reference's exported convs: ``(K//2, K//2)``
+    for the odd ``make_odd`` kernels.
+
+    The reference constructs both cached convs with
+    ``cc.get_padding(K)`` and never passes the stride
+    (pqmf.py:316-333), so the strided analysis conv is padded as if
+    stride were 1 — the exported artifact's baked ``forward_conv._pad``
+    is ``(256, 256)`` for K=513/stride=16, NOT the stride-aware
+    ``(248, 249)`` split ``cached_conv`` would produce with the stride
+    passed. Round 4 verified this against the live
+    ``PitchShifterPvoc/torchscript/pqmfpvoc.ts`` module: (256, 256)
+    matches its decompose bit-for-bit (~2900 dB), the stride-aware split
+    is an 8-sample analysis-grid shift (~2 dB). See
+    tests/test_reference_artifact.py."""
+    total = kernel - 1
     return total // 2, total - total // 2
 
 
@@ -92,7 +104,7 @@ def offline_conv(x: jax.Array, w: jax.Array, stride: int = 1,
     if causal:
         pad = (K - stride, 0)
     else:
-        pad = centered_padding(K, stride)
+        pad = centered_padding(K)
     return fb._conv1d(x, w, stride=stride, padding=pad, precision=precision)
 
 
@@ -164,7 +176,7 @@ def _cached_analysis(x, hkf, state, mode="offline", precision="highest",
 
         K = hkf.shape[-1]
         if mode == "offline":
-            al, ar = centered_padding(K, M)
+            al, ar = centered_padding(K)
             xx = jnp.pad(x, ((0, 0), (0, 0), (al, ar)))
             new_state = state
         elif mode == "causal":
@@ -215,7 +227,7 @@ def _cached_synthesis(x, hki, state, mode="offline", precision="highest",
 
         K = hki.shape[-1]
         if mode == "offline":
-            sl, sr = centered_padding(K, 1)
+            sl, sr = centered_padding(K)
             xx = jnp.pad(x, ((0, 0), (0, 0), (sl, sr)))
             y = syn(xx, True, x_offset=-sl)
             new_state = state
@@ -273,8 +285,11 @@ class StreamingPQMF:
     def __init__(self, attenuation: float, n_band: int,
                  precision: str = "highest", use_pallas="auto", mesh=None,
                  n_channels: int = 1):
+        # ValueError, not assert (stripped under `python -O`, and the
+        # downstream polyphase matrices would be silently empty)
         power = math.log2(n_band)
-        assert power == math.floor(power), "n_band must be a power of 2"
+        if power != math.floor(power):
+            raise ValueError(f"n_band must be a power of 2, got {n_band}")
         self.n_band = n_band
         self.attenuation = attenuation
         self.precision = precision
@@ -304,19 +319,7 @@ class StreamingPQMF:
                 "off (use_pallas resolved False); convs run unsharded",
                 stacklevel=2)
 
-        # Latency bookkeeping (cached_conv's cumulative_delay analog), in
-        # full-rate samples, verified empirically in tests/test_streaming.py:
-        # - stream_vs_centered_delay: how much later the streamed output is
-        #   than the centered-offline output (right-lookahead turned into
-        #   delay): analysis right pad + synthesis right pad * M.
-        # - centered_advance: the centered round-trip's own output advance
-        #   (odd kernel center vs asymmetric pad split).
-        # - latency_samples: total streamed round-trip delay vs the input.
-        a_left, a_right = centered_padding(self.hkf.shape[-1], M)
-        _, s_right = centered_padding(self.hki.shape[-1], 1)
-        self.stream_vs_centered_delay = a_right + s_right * M
-        self.centered_advance = self.hkf.shape[-1] // 2 - a_left
-        self.latency_samples = self.stream_vs_centered_delay + self.centered_advance
+        self._update_delays()
 
     def _check_mesh(self, mesh):
         """Validate a (data, band) mesh for the band-partitioned Pallas
@@ -353,12 +356,30 @@ class StreamingPQMF:
                         "band-partitioned path (use_pallas degraded to "
                         "False); the configured mesh is unused and convs "
                         "run unsharded", stacklevel=2)
-        a_left, a_right = centered_padding(self.hkf.shape[-1], M)
-        _, s_right = centered_padding(self.hki.shape[-1], 1)
-        self.stream_vs_centered_delay = a_right + s_right * M
-        self.centered_advance = self.hkf.shape[-1] // 2 - a_left
+        self._update_delays()
+
+    def _update_delays(self):
+        """Latency bookkeeping (cached_conv's cumulative_delay analog), in
+        full-rate samples, verified empirically in tests/test_streaming.py:
+        - stream_vs_centered_delay: how much later the streamed output is
+          than the centered-offline output — the extra left padding each
+          causal conv carries over its centered counterpart, the
+          synthesis term scaled to full rate by the interleave.
+        - centered_delay: the centered round-trip's own group delay vs
+          the input (the reference artifact measures 16 at M=16 — an
+          impulse through pqmfpvoc.ts forward peaks 16 samples late).
+        - latency_samples: total streamed round-trip delay vs the input.
+        """
+        M = self.n_band
+        Ka = self.hkf.shape[-1]
+        Ks = self.hki.shape[-1]
+        a_left, _ = centered_padding(Ka)
+        s_left, _ = centered_padding(Ks)
+        self.stream_vs_centered_delay = ((Ka - M - a_left)
+                                         + M * (Ks - 1 - s_left))
+        self.centered_delay = a_left - Ka // 2 + M
         self.latency_samples = (self.stream_vs_centered_delay
-                                + self.centered_advance)
+                                + self.centered_delay)
 
     # -- channel folding ------------------------------------------------------
 
@@ -418,13 +439,13 @@ class StreamingPQMF:
         from pqmf_tpu.kernels import cached_conv as cc
 
         M = self.n_band
-        sl, sr = centered_padding(self.hki.shape[-1], 1)
+        sl, sr = centered_padding(self.hki.shape[-1])
         if (not self.use_pallas or self.mesh is not None or M == 1
                 or not cc.fused_roundtrip_supported(M, sl)):
             return self.inverse(self.forward(x))
         xf, B = self._fold(x)
         Ka = self.hkf.shape[-1]
-        al, ar = centered_padding(Ka, M)
+        al, ar = centered_padding(Ka)
         xx = jnp.pad(xf, ((0, 0), (0, 0), (al, ar)))
         out = cc.fused_roundtrip_conv(xx, self.hkf, self.hki, M, (sl, sr),
                                       mxu_precision=self.precision)

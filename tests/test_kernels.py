@@ -11,7 +11,7 @@ from pqmf_tpu.kernels import polyphase_analysis, polyphase_synthesis
 from pqmf_tpu.ops import filterbank as fb
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
+@pytest.mark.parametrize("n_band", [2, 4, 8, 16, 32, 64])
 @pytest.mark.parametrize("t_sub", [128, 1000, 37])
 def test_analysis_matches_lax(n_band, t_sub):
     p = fb.build_filterbank(100, n_band)
@@ -25,7 +25,7 @@ def test_analysis_matches_lax(n_band, t_sub):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
+@pytest.mark.parametrize("n_band", [2, 4, 8, 16, 32, 64])
 @pytest.mark.parametrize("t_sub", [128, 1000, 37])
 def test_synthesis_matches_lax(n_band, t_sub):
     p = fb.build_filterbank(100, n_band)
@@ -53,20 +53,42 @@ def test_pqmf_pallas_flag_roundtrip():
                                atol=2e-5, rtol=1e-4)
 
 
-def test_unsupported_band_count_falls_back():
-    """n_band=4 is below the sublane-alignment constraint: auto mode must
-    select the lax path (and still reconstruct)."""
+def test_supports_gate():
+    """The native-kernel gate after the round-4 relaxation: every
+    power-of-two band count <= 64 rides the time-grouped path (incl. the
+    reference's M=2/M=4 configs); non-128-divisor counts still need the
+    ungrouped path's M % 8; oversized halos always fall back."""
     from pqmf_tpu.kernels.polyphase import supports
 
-    pq = PQMF(100, 4, use_pallas="auto")
-    # parenthesized: the bare ternary parsed as `(x in (False,)) if ...
-    # else (True, False)`, whose else-branch asserted a constant tuple
-    assert pq.use_pallas in (
-        (False,) if not supports(4) else (True, False))
+    for m in (2, 4, 8, 16, 32, 64):
+        assert supports(m)
+    assert supports(24)          # ungrouped path: 24 % 8 == 0
+    assert not supports(12)      # neither path: 128 % 12, 12 % 8
+    assert not supports(8, halos=(200,))  # halo past one lane tile
+
+
+def test_small_band_count_pallas_roundtrip():
+    """n_band=4 (the BASELINE M=4 95-tap prototype) through the native
+    kernels in auto mode — previously gated off to lax (VERDICT r3
+    missing-2)."""
+    from pqmf_tpu.kernels.polyphase import supports
+
+    assert supports(4)  # the auto gate admits M=4 (pallas_available()
+    # is False on the CPU test backend, so force the kernels on —
+    # interpret mode — like the other kernel tests)
+    pq = PQMF(100, 4, use_pallas=True)
+    assert pq.use_pallas
     x = np.random.default_rng(3).standard_normal((1, 1, 4 * 256)).astype(
         np.float32)
+    ref = PQMF(100, 4, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(pq.forward(x)),
+                               np.asarray(ref.forward(x)),
+                               atol=2e-5, rtol=1e-4)
     y = pq.inverse(pq.forward(x))
     assert y.shape == (1, 1, 4 * 256)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(ref.inverse(ref.forward(x))),
+                               atol=2e-5, rtol=1e-4)
 
 
 def test_streaming_pqmf_pallas_matches_lax_all_modes():
@@ -160,8 +182,8 @@ def test_single_call_roundtrip_matches_two_call(n_band):
     G = 128 // n_band
     sp = StreamingPQMF(70, n_band, use_pallas=True)
     Ka, Ks = sp.hkf.shape[-1], sp.hki.shape[-1]
-    al, ar = centered_padding(Ka, n_band)
-    sl, sr = centered_padding(Ks, 1)
+    al, ar = centered_padding(Ka)
+    sl, sr = centered_padding(Ks)
     # pad variants cover the kernel's window-alignment cases: the
     # production-like aligned left pad (base > 0), no left pad
     # (pl_g == 0), and an 8-row-aligned left pad (base == 0)
@@ -197,7 +219,7 @@ def test_single_call_roundtrip_tail_tiles_past_analysis():
     G = 128 // n_band
     sp = StreamingPQMF(70, n_band, use_pallas=True)
     Ka = sp.hkf.shape[-1]
-    al, ar = centered_padding(Ka, n_band)
+    al, ar = centered_padding(Ka)
     x = rng.standard_normal((1, 1, 256 * n_band)).astype(np.float32)
     xx = jnp.pad(jnp.asarray(x), ((0, 0), (0, 0), (al, ar)))
     pads = (G, 4096)  # pl_g == 1; nt_a = 1 but nt_s >= 4 at tile=128

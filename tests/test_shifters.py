@@ -31,7 +31,8 @@ from pqmf_tpu.shifters import (
 
 def torch_pvoc_pitchshift(x: np.ndarray, n_steps: int, n_fft: int, hop: int,
                           win: int,
-                          canonical_zero_phase: bool = False) -> np.ndarray:
+                          canonical_zero_phase: bool = False,
+                          phase_rule: str = "reference") -> np.ndarray:
     """Reference pvoc oracle (VocoderPitchShifter.py:240-306).
 
     canonical_zero_phase: torch's FFT emits signed zeros (-0.0) in a
@@ -68,6 +69,8 @@ def torch_pvoc_pitchshift(x: np.ndarray, n_steps: int, n_fft: int, hop: int,
 
     mag_s = torch.zeros(B, freq, frames_out)
     phi_s = torch.zeros(B, freq, frames_out)
+    dps = torch.zeros(B, freq, frames_out)
+    phi00 = None
     for j in range(frames_out):
         tp = j * rate
         i0 = int(math.floor(tp))
@@ -76,7 +79,19 @@ def torch_pvoc_pitchshift(x: np.ndarray, n_steps: int, n_fft: int, hop: int,
         mag_s[..., j] = (1 - a) * mag[..., i0] + a * mag[..., i1]
         dp = phase[..., i1] - phase[..., i0] - omega
         dp = torch.remainder(dp + math.pi, 2 * math.pi) - math.pi
+        dps[..., j] = dp
+        if j == 0:
+            phi00 = phase[..., i0]
         phi_s[..., j] = phase[..., i0] + omega + a * dp
+    if phase_rule == "accumulate":
+        # the wrapper's opt-in running-phase rule (pipelines.py
+        # _fused_band_pitchshift phase_rule="accumulate"): cumulative sum
+        # of wrapped per-step advances seeded by the first source
+        # frame's phase, same clamped frame selection as the reference
+        incs = torch.cat(
+            [phi00.unsqueeze(-1), (dps + omega[None, :, None])[..., :-1]],
+            dim=-1)
+        phi_s = torch.cumsum(incs, dim=-1)
 
     spec_c = torch.complex(mag_s * torch.cos(phi_s), mag_s * torch.sin(phi_s))
     if frames_out == 1:

@@ -19,9 +19,14 @@ from oracles import best_aligned_snr, snr_db
 
 
 def test_centered_padding_matches_reference_geometry():
-    # analysis conv k=513 s=16; synthesis conv k=33 s=1 (BASELINE.md)
-    assert centered_padding(513, 16) == (248, 249)
-    assert centered_padding(33, 1) == (16, 16)
+    # The reference builds both cached convs with cc.get_padding(K) and
+    # never passes the stride (pqmf.py:316-333), so the strided analysis
+    # conv is padded as if stride were 1: the exported pqmfpvoc.ts
+    # artifact bakes forward_conv._pad == (256, 256) and
+    # inverse_conv._pad == (16, 16) (verified live in
+    # test_reference_artifact.py).
+    assert centered_padding(513) == (256, 256)
+    assert centered_padding(33) == (16, 16)
 
 
 @pytest.mark.parametrize("kernel,stride", [(513, 16), (33, 1), (7, 2)])
@@ -142,10 +147,13 @@ def test_scan_blocks_matches_python_loop(spq):
 
 
 def test_latency_metadata(spq):
-    # k=513 s=16 -> right 249; k=33 s=1 -> right 16 band steps = 256 samples;
-    # centered path advance 256-248 = 8; total measured delay = 513
-    assert spq.stream_vs_centered_delay == 249 + 16 * 16
-    assert spq.centered_advance == 8
+    # causal analysis left pad 497 vs centered 256 -> 241 extra; causal
+    # synthesis 32 vs 16 -> 16 band steps = 256 samples; the centered
+    # round-trip's own group delay is 16 (the reference artifact's
+    # measured impulse delay); streamed total = 241 + 256 + 16 = 513
+    # (unchanged from the causal path's physical delay).
+    assert spq.stream_vs_centered_delay == 241 + 16 * 16
+    assert spq.centered_delay == 16
     assert spq.latency_samples == 513
 
 

@@ -47,8 +47,8 @@ def main():
     w_a, w_s = sp.hkf, sp.hki
 
     Ka, Ks = w_a.shape[-1], w_s.shape[-1]
-    al, ar = centered_padding(Ka, M)
-    sl, sr_ = centered_padding(Ks, 1)
+    al, ar = centered_padding(Ka)
+    sl, sr_ = centered_padding(Ks)
     pads = (sl, sr_)
 
     rng = np.random.default_rng(0)

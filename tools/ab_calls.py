@@ -41,8 +41,8 @@ def main():
 
     Ka = sp["highest"].hkf.shape[-1]
     Ks = sp["highest"].hki.shape[-1]
-    al, ar = centered_padding(Ka, M)
-    pads = centered_padding(Ks, 1)
+    al, ar = centered_padding(Ka)
+    pads = centered_padding(Ks)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((1, 1, T)).astype(np.float32) * 0.1)

@@ -47,7 +47,7 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, 1, 8192)).astype(np.float32)
                     * 0.1)
     Ka = sp.hkf.shape[-1]
-    al, ar = centered_padding(Ka, M)
+    al, ar = centered_padding(Ka)
     xx = jnp.pad(x, ((0, 0), (0, 0), (al, ar)))
     pad_cols = xx.shape[-1] - 8192
 

@@ -44,8 +44,8 @@ def main():
     from pqmf_tpu.kernels import cached_conv as cc
 
     Ka, Ks = sp["highest"].hkf.shape[-1], sp["highest"].hki.shape[-1]
-    al, ar = centered_padding(Ka, M)
-    sl, sr_ = centered_padding(Ks, 1)
+    al, ar = centered_padding(Ka)
+    sl, sr_ = centered_padding(Ks)
     pads = (sl, sr_)
 
     rng = np.random.default_rng(0)

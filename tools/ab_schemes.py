@@ -32,8 +32,8 @@ def main():
     x = jnp.asarray(rng.standard_normal((1, 1, n)).astype(np.float32))
 
     Ka = sp.hkf.shape[-1]
-    al, ar = centered_padding(Ka, M)
-    sl, sr = centered_padding(sp.hki.shape[-1], 1)
+    al, ar = centered_padding(Ka)
+    sl, sr = centered_padding(sp.hki.shape[-1])
     xx = jnp.pad(x, ((0, 0), (0, 0), (al, ar)))
 
     def rt(prec, scheme):

@@ -55,13 +55,13 @@ def main():
 
     # reproduce the fused roundtrip's actual grouped geometry
     Ka, Ks = sp_hi.hkf.shape[-1], sp_hi.hki.shape[-1]
-    al, ar = centered_padding(Ka, M)
+    al, ar = centered_padding(Ka)
     Tpad = T + al + ar
     T_ana = (Tpad - Ka) // M + 1
     w2a, Sa, _ = cc._ana_grouped_weights(sp_hi.hkf, M, G, False, jnp.float32)
     La = w2a.shape[1] // Sa
     Ua = -(-T_ana // G)
-    sl, sr = centered_padding(Ks, 1)
+    sl, sr = centered_padding(Ks)
     sl += G * M  # mirrors StreamingPQMF.roundtrip's aligned left pad
     T_out = sl + T_ana + sr - Ks + 1
     w2s, Ss, _ = cc._syn_grouped_weights(sp_hi.hki, G, False, 0, jnp.float32)

@@ -161,11 +161,11 @@ def main():
 
     # --- glue-only: the XLA ops around/between the real kernels --------
     Ka, Ks = sp_hi.hkf.shape[-1], sp_hi.hki.shape[-1]
-    al, ar = centered_padding(Ka, M)
+    al, ar = centered_padding(Ka)
     Tpad = T + al + ar
     T_ana = (Tpad - Ka) // M + 1
     Ua = -(-T_ana // G)
-    sl, sr_ = centered_padding(Ks, 1)
+    sl, sr_ = centered_padding(Ks)
     pl_ = sl if sl % G == 0 else sl + (G - sl % G)
     nt_a = -(-Ua // Tt)
     win_rows = Tt + 128

@@ -84,8 +84,8 @@ def main():
     from pqmf_tpu.kernels import cached_conv as cc
     from pqmf_tpu.streaming import centered_padding
 
-    sl_, sr2 = centered_padding(palq.hki.shape[-1], 1)
-    al_, ar_ = centered_padding(palq.hkf.shape[-1], 16)
+    sl_, sr2 = centered_padding(palq.hki.shape[-1])
+    al_, ar_ = centered_padding(palq.hkf.shape[-1])
     xxp = jnp.pad(x, ((0, 0), (0, 0), (al_, ar_)))
     for prec in ("highest", "bf16x3"):
         one = cc.fused_roundtrip_conv(xxp, palq.hkf, palq.hki, 16,
@@ -116,21 +116,22 @@ def main():
     from pqmf_tpu.parallel.training import (load_pretrained_bank,
                                             streaming_roundtrip_snr)
 
-    # M=16 on all THREE bundled fixtures (CPU: 98.1 / 84.9 / 102.0 dB) —
-    # the white-noise-trained bank must generalize across program material
+    # M=16 on all THREE bundled fixtures (CPU steady-state: 104.9 /
+    # 106.9 / 105.1 dB) — the white-noise-trained bank must generalize
+    # across program material
     p_ft = load_pretrained_bank()
     for fix in ("flute.wav", "violin_bow_nonvib_f4_44100.wav",
                 "flutemulti.wav"):
         ft_snr = streaming_roundtrip_snr(
             p_ft, 100, 16, f"/root/reference/audio/{fix}", use_pallas=True)
-        ok &= check(f"fine-tuned bank {fix} SNR {ft_snr:.1f} dB (need > 80)",
-                    80.0 - ft_snr, 0.0)
+        ok &= check(f"fine-tuned bank {fix} SNR {ft_snr:.1f} dB (need > 98)",
+                    98.0 - ft_snr, 0.0)
 
-    # M=8 (CPU 95.0 dB flute) and M=64 through the G=2 grouped kernels
-    # (CPU 84.3 dB); one fixture suffices on-chip — the full 3-fixture
+    # M=8 (CPU 102.2 dB flute) and M=64 through the G=2 grouped kernels
+    # (CPU 101.5 dB); one fixture suffices on-chip — the full 3-fixture
     # floors run in test_parallel
-    for m, bank, floor in [(8, "hk8_atten100_finetuned", 90.0),
-                           (64, "hk64_atten100_finetuned", 80.0)]:
+    for m, bank, floor in [(8, "hk8_atten100_finetuned", 99.0),
+                           (64, "hk64_atten100_finetuned", 98.0)]:
         snr_m = streaming_roundtrip_snr(
             load_pretrained_bank(bank), 100, m,
             "/root/reference/audio/flute.wav", use_pallas=True)
