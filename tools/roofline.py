@@ -85,12 +85,85 @@ def main():
 
     print(f"{'kernel':34s} {'ms':>8s} {'GB/s':>8s} {'GFLOP/s':>9s} "
           f"{'ms/60s-audio':>12s}")
+    conv_gfs = []
     for name, fn, nbytes, flops in cases:
         ms = chained_ms(fn, x_raw, n=args.chain)
         gbs = nbytes / (ms * 1e-3) / 1e9
         gfs = flops / (ms * 1e-3) / 1e9
         per60 = ms * (60.0 / args.seconds)
+        conv_gfs.append(gfs)
         print(f"{name:34s} {ms:8.3f} {gbs:8.1f} {gfs:9.1f} {per60:12.3f}")
+
+    # --- serving steps (VERDICT r3 item 3): the flagship fused
+    # pitchshift step and the fused TA step, with the same bytes/FLOPs
+    # accounting as the conv rows. FLOPs count the matmul work (convs,
+    # DFT/IDFT bases, one-hot frame selects, one-hot/banded resample);
+    # VPU elementwise (atan2/cos/sin/princarg) is excluded, so GFLOP/s
+    # here is the MXU-visible rate. The conv rows above (same window)
+    # are the practical peak reference: the chip is co-tenanted, so
+    # only the within-run ratio is meaningful.
+    from pqmf_tpu.pipelines import (PQMFPitchShiftWrapper,
+                                    PQMFPitchShiftWrapperTA)
+
+    BLK = 8192
+    blk = jnp.asarray(rng.standard_normal((1, 1, BLK)).astype(np.float32))
+    f32 = 4
+
+    # flagship step: geometry + FLOP model
+    w = PQMFPitchShiftWrapper(args.atten, M, BLK, SR)
+    Tb = BLK // M
+    n_fft, hop, win = w.n_fft, w.hop, w.win
+    F = n_fft // 2 + 1
+    frames = Tb // hop + 1
+    fo_max = max(max(1, int(np.floor(frames / r))) for r in w._rates_py)
+    ls_max = (fo_max - 1) * hop + n_fft
+    fl_ana = 2 * Tb * M * (-(-Ka // M) * M)
+    fl_stft = 2 * M * frames * n_fft * (2 * F)
+    fl_sel = 2 * 2 * M * F * frames * fo_max * 2   # mag+phase x t0+t1
+    fl_istft = 2 * M * fo_max * (2 * F) * n_fft
+    fl_interp = 2 * M * Tb * ls_max                # one-hot resample
+    fl_syn = 2 * Tb * M * (Ks * M)
+    fl_step = fl_ana + fl_stft + fl_sel + fl_istft + fl_interp + fl_syn
+    by_step = 2 * BLK * f32 + 2 * M * w.band_overlap * f32
+
+    state = w.init_state()
+
+    def flag_step(v):
+        _, y = w.pitchshift_fn(state, v.reshape(1, 1, BLK))
+        return y.reshape(1, 1, BLK)
+
+    # TA step: FLOPs from the cached static plan
+    # (rates, fo, ls, zero, W[M, Tb, Kt], starts, FO_max, pad_left, Lbuf)
+    wt = PQMFPitchShiftWrapperTA(args.atten, M, BLK, SR)
+    plan = wt._ta_plan(Tb)
+    Kt = int(plan[4].shape[-1])      # banded resample taps per output
+    fo_max_ta = int(plan[6])
+    n_fft_t, hop_t = wt._n_fft, wt._hop
+    F_t = n_fft_t // 2 + 1
+    frames_t = Tb // hop_t + 1
+
+    def ta_step(v):
+        return wt.pitchshifter(v.reshape(1, 1, BLK)).reshape(1, 1, BLK)
+
+    for name, fn, nbytes, flops in [
+            ("flagship pitchshift step (8192)", flag_step, by_step,
+             fl_step),
+            ("TA pitchshift step (8192)", ta_step, 2 * BLK * f32,
+             # conv legs + STFT/ISTFT bases at the TA geometry + the
+             # banded resample (width from the plan's weight matrix)
+             fl_ana + fl_syn
+             + 2 * M * frames_t * n_fft_t * (2 * F_t)
+             + 2 * M * fo_max_ta * (2 * F_t) * n_fft_t
+             + 2 * M * Tb * Kt)]:
+        ms = chained_ms(fn, blk, n=max(args.chain, 200))
+        gbs = nbytes / (ms * 1e-3) / 1e9
+        gfs = flops / (ms * 1e-3) / 1e9
+        rt_blocks = 60.0 * SR / BLK
+        print(f"{name:34s} {ms:8.3f} {gbs:8.1f} {gfs:9.1f} "
+              f"{ms * rt_blocks:12.3f}")
+    peak = max(conv_gfs)
+    print(f"(conv-row peak this window: {peak:.0f} GFLOP/s — compare the "
+          f"step rows' GFLOP/s against it for the within-window residual)")
 
 
 if __name__ == "__main__":
