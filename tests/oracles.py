@@ -78,7 +78,16 @@ def reverse_half_np(x: np.ndarray) -> np.ndarray:
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
-    """Signal-to-noise ratio of `test` against `ref` in dB."""
+    """Signal-to-noise ratio of `test` against `ref` in dB.
+
+    Complex inputs compare BOTH components (stacked re/im): a plain
+    float64 cast would silently discard the imaginary part and a
+    spectrum-parity test would then only check real parts.
+    """
+    ref, test = np.asarray(ref), np.asarray(test)
+    if np.iscomplexobj(ref) or np.iscomplexobj(test):
+        ref = np.stack([np.real(ref), np.imag(ref)])
+        test = np.stack([np.real(test), np.imag(test)])
     ref = np.asarray(ref, np.float64).ravel()
     test = np.asarray(test, np.float64).ravel()
     n = min(len(ref), len(test))
