@@ -108,20 +108,33 @@ def stretch_reference(mag: jax.Array, phase: jax.Array, rate: jax.Array,
     return mag_s, phase_s
 
 
-# trace-time probe switch: True restores the jnp.take gathers the one-hot
-# select replaced. Flipped only by tools/ab_stretch_select.py between
-# fresh jits, for same-window A/Bs of the two lowerings.
-_USE_TAKE = False
+# lowering crossover, measured on chip (tools/ab_pipeline_select.py
+# --streams 16, verify ledger): at serving block shapes (frames ~5) the
+# gathers are ~9% faster end-to-end across 16 streams — the r2->r3
+# serving regression — while at whole-file shapes (frames in the
+# hundreds) minor-dim gathers with traced indices are the documented
+# ~100x-slow pattern and the one-hot matmul wins. Both forms are
+# bit-identical (each output row is exactly one x*1.0 against exact
+# zeros), so the frame-count switch is purely a lowering choice.
+_TAKE_MAX_FRAMES = 32
+
+# trace-time probe pin: "take"/"onehot" force one lowering regardless of
+# the crossover. Set only by tools/ab_{stretch,pipeline}_select.py
+# between fresh jits, for same-window A/Bs of the two lowerings.
+_FORCE_SELECT = None
 
 
 def _select_frames(p: jax.Array, q: jax.Array, idx: jax.Array):
-    """(p, q)[..., idx] along the minor frames axis via one one-hot
-    matmul (gather-free, bit-exact: 0/1 weights, HIGHEST precision;
-    exactly one x*1.0 per output against exact zeros). p, q: [B, F, T];
+    """(p, q)[..., idx] along the minor frames axis: a one-hot 0/1
+    matmul at HIGHEST precision for large frame counts (gather-free,
+    bit-exact), jnp.take below the measured crossover where the gathers
+    lower faster (module comment at _TAKE_MAX_FRAMES). p, q: [B, F, T];
     idx: [O] int32 in range -> ([B, F, O], [B, F, O])."""
-    if _USE_TAKE:
-        return jnp.take(p, idx, axis=-1), jnp.take(q, idx, axis=-1)
     T = p.shape[-1]
+    mode = _FORCE_SELECT or (
+        "take" if T <= _TAKE_MAX_FRAMES else "onehot")
+    if mode == "take":
+        return jnp.take(p, idx, axis=-1), jnp.take(q, idx, axis=-1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], T), 1)
     sel = (cols == idx[:, None]).astype(p.dtype)  # [O, T]
     both = jnp.einsum("bft,ot->bfo", jnp.concatenate([p, q], axis=0), sel,

@@ -10,9 +10,11 @@ bench_streams program). Arms are interleaved A/B/A/B within one window —
 the chip's ~3x co-tenancy swings cancel only within a window (verify
 skill). Run:
 
-    python tools/ab_serving_r2_r3.py [--pairs 3]
+    python tools/ab_serving_r2_r3.py [--pairs 3] [--base COMMIT]
 
-It creates/reuses the worktree at /tmp/pqmf_r2_tree.
+It creates/reuses a worktree at /tmp/pqmf_<base>_tree. ``--base`` lets
+the same interleaved harness bisect WHICH commit introduced a measured
+step-time change (default: the round-2 marker).
 """
 
 from __future__ import annotations
@@ -24,7 +26,6 @@ import subprocess
 import sys
 
 R2_COMMIT = "d973c27"
-R2_TREE = "/tmp/pqmf_r2_tree"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MEASURE = r"""
@@ -73,27 +74,30 @@ def run_arm(tree: str) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--base", default=R2_COMMIT,
+                    help="commit for the baseline arm (default: round-2)")
     args = ap.parse_args()
 
-    if not os.path.exists(R2_TREE):
-        subprocess.run(["git", "worktree", "add", "--detach", R2_TREE,
-                        R2_COMMIT], cwd=REPO, check=True)
+    base_tree = f"/tmp/pqmf_{args.base}_tree"
+    if not os.path.exists(base_tree):
+        subprocess.run(["git", "worktree", "add", "--detach", base_tree,
+                        args.base], cwd=REPO, check=True)
 
     results = {"r2": [], "now": []}
     for i in range(args.pairs):
-        a = run_arm(R2_TREE)
+        a = run_arm(base_tree)
         b = run_arm(REPO)
         results["r2"].append(a)
         results["now"].append(b)
         va = a["per_step_ms"] if a["valid"] else float("nan")
         vb = b["per_step_ms"] if b["valid"] else float("nan")
-        print(f"pair {i}: r2 {va:.4f} ms | now {vb:.4f} ms | "
-              f"now/r2 {vb / va:.3f}x")
+        print(f"pair {i}: base {va:.4f} ms | now {vb:.4f} ms | "
+              f"now/base {vb / va:.3f}x")
     best_r2 = min(r["per_step_ms"] for r in results["r2"] if r["valid"])
     best_now = min(r["per_step_ms"] for r in results["now"] if r["valid"])
-    print(f"best-of: r2 {best_r2:.4f} ms, now {best_now:.4f} ms, "
-          f"now/r2 {best_now / best_r2:.3f}x "
-          f"(16-stream aggregate RTF: r2 "
+    print(f"best-of: base {best_r2:.4f} ms, now {best_now:.4f} ms, "
+          f"now/base {best_now / best_r2:.3f}x "
+          f"(16-stream aggregate RTF: base "
           f"{16 * (8192 / 44100) / (best_r2 / 1e3):.0f}x, now "
           f"{16 * (8192 / 44100) / (best_now / 1e3):.0f}x)")
 

@@ -5,7 +5,7 @@ CLAUDE.md documents traced minor-dim gathers at ~100x on this TPU (the
 TA banded resample measured it); this probe quantifies the delta for the
 STRETCH selection specifically, at the fused-pipeline shapes (16 bands,
 traced per-band rates, the 8192-block STFT geometry and a whole-file
-geometry). The switch is the trace-time global pv._USE_TAKE, read while
+geometry). The switch is the trace-time pin pv._FORCE_SELECT, read while
 tracing; each arm wraps the UNJITTED stretch in a fresh jax.jit (the
 public fns' jit caches would otherwise serve one arm's trace to both).
 Arms are interleaved: every ratio is within one co-tenancy window.
@@ -56,7 +56,7 @@ def main():
         rates = jnp.asarray(rates_np)
 
         def make_arm(use_take):
-            pv._USE_TAKE = use_take
+            pv._FORCE_SELECT = "take" if use_take else "onehot"
 
             @jax.jit
             def fn(v):
@@ -67,7 +67,7 @@ def main():
                 return out * (1.0 / (1.0 + jnp.abs(out).max()))
 
             fn(x).block_until_ready()  # trace NOW, global pinned
-            pv._USE_TAKE = False
+            pv._FORCE_SELECT = None
             return fn
 
         arms = [("onehot", make_arm(False)), ("take", make_arm(True))]

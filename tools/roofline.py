@@ -145,22 +145,38 @@ def main():
     def ta_step(v):
         return wt.pitchshifter(v.reshape(1, 1, BLK)).reshape(1, 1, BLK)
 
-    for name, fn, nbytes, flops in [
-            ("flagship pitchshift step (8192)", flag_step, by_step,
-             fl_step),
-            ("TA pitchshift step (8192)", ta_step, 2 * BLK * f32,
+    # 16-stream flagship step: same FLOP model x16. If GFLOP/s scales
+    # toward the conv peak the single-stream residual is small-N MXU
+    # underutilization (frames/fo columns ~5-66 vs the 256 the MXU
+    # wants), recovered by stream batching — not a fixable kernel gap.
+    NS = 16
+    blk16 = jnp.asarray(
+        rng.standard_normal((NS, BLK)).astype(np.float32))
+    states16 = w.init_streams(NS)
+
+    def flag_step16(v):
+        _, y = w.pitchshift_streams(states16, v.reshape(NS, BLK))
+        return y.reshape(NS, BLK)
+
+    for name, fn, inp, streams, nbytes, flops in [
+            ("flagship pitchshift step (8192)", flag_step, blk, 1,
+             by_step, fl_step),
+            ("flagship step x16 streams", flag_step16, blk16, NS,
+             NS * by_step, NS * fl_step),
+            ("TA pitchshift step (8192)", ta_step, blk, 1, 2 * BLK * f32,
              # conv legs + STFT/ISTFT bases at the TA geometry + the
              # banded resample (width from the plan's weight matrix)
              fl_ana + fl_syn
              + 2 * M * frames_t * n_fft_t * (2 * F_t)
              + 2 * M * fo_max_ta * (2 * F_t) * n_fft_t
              + 2 * M * Tb * Kt)]:
-        ms = chained_ms(fn, blk, n=max(args.chain, 200))
+        ms = chained_ms(fn, inp, n=max(args.chain, 200))
         gbs = nbytes / (ms * 1e-3) / 1e9
         gfs = flops / (ms * 1e-3) / 1e9
         rt_blocks = 60.0 * SR / BLK
+        # ms/60s-audio is per 60 s of AGGREGATE audio (÷ streams)
         print(f"{name:34s} {ms:8.3f} {gbs:8.1f} {gfs:9.1f} "
-              f"{ms * rt_blocks:12.3f}")
+              f"{ms * rt_blocks / streams:12.3f}")
     peak = max(conv_gfs)
     print(f"(conv-row peak this window: {peak:.0f} GFLOP/s — compare the "
           f"step rows' GFLOP/s against it for the within-window residual)")
