@@ -628,3 +628,32 @@ def test_flagship_whole_file_uses_linear_memory_path():
     err = ((a - b) ** 2).sum()
     snr = 10 * np.log10(max((a ** 2).sum(), 1e-30) / max(err, 1e-30))
     assert snr > 90, f"gather-vs-onehot stretch resample parity {snr:.1f} dB"
+
+
+def test_frame_select_lowerings_bit_identical_across_crossover():
+    """pv._select_frames picks its lowering by static frame count
+    (take at serving block shapes, one-hot matmul in the whole-file
+    regime — the r4 serving-regression fix). The two forms must be
+    BIT-identical on both sides of the crossover, or the crossover
+    would change results, not just lowering."""
+    from pqmf_tpu.ops import phase_vocoder as pv
+
+    rng = np.random.default_rng(7)
+    for T in (5, pv._TAKE_MAX_FRAMES, pv._TAKE_MAX_FRAMES + 1, 147):
+        p = jnp.asarray(rng.standard_normal((3, 17, T)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((3, 17, T)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, T, size=2 * T + 3),
+                          dtype=jnp.int32)
+        outs = {}
+        for mode in ("take", "onehot"):
+            pv._FORCE_SELECT = mode
+            try:
+                outs[mode] = [np.asarray(o)
+                              for o in pv._select_frames(p, q, idx)]
+            finally:
+                pv._FORCE_SELECT = None
+        # auto must equal both (they are mutually bit-identical)
+        auto = [np.asarray(o) for o in pv._select_frames(p, q, idx)]
+        for a, b, c in zip(outs["take"], outs["onehot"], auto):
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, c)
