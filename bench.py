@@ -227,9 +227,12 @@ def bench_ta_pitchshift(n_blocks=1024):
         0.1 * np.random.default_rng(0).standard_normal(
             (n_blocks, 1, 1, 8192)).astype(np.float32))
     blocks2 = jnp.concatenate([blocks, blocks])
-    plan = w._ta_plan(8192 // N_BAND)
-    args = tuple(jnp.asarray(a) for a in plan[:6])
-    FO_max, pad_left, Lbuf = plan[6:]
+    Tb = 8192 // N_BAND
+    plan = w._ta_plan(Tb)
+    kind = w._resample_kind(Tb, plan)  # dense at this geometry (r4)
+    Wm = plan[9] if kind == "dense" else plan[4]
+    args = tuple(jnp.asarray(a) for a in (*plan[:4], Wm, plan[5]))
+    FO_max, pad_left, Lbuf = plan[6:9]
 
     @jax.jit
     def run(blocks):
@@ -237,7 +240,7 @@ def bench_ta_pitchshift(n_blocks=1024):
             y = w._pitchshifter_impl(b, w.pqmf.hkf, w.pqmf.hki, *args,
                                      FO_max=FO_max,
                                      pad_left=pad_left, Lbuf=Lbuf,
-                                     resample_kind="onehot")
+                                     resample_kind=kind)
             return 0, y
 
         return jax.lax.scan(step, 0, blocks)[1]

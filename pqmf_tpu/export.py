@@ -170,10 +170,15 @@ def export_stablehlo(wrapper, length: int) -> bytes:
             jnp.zeros((1, length), jnp.float32),
         )
     elif isinstance(wrapper, PQMFPitchShiftWrapperTA):
-        plan = wrapper._ta_plan(length // wrapper.n_band)
-        consts = tuple(jnp.asarray(a) for a in plan[:6])
-        kind = ("onehot" if length // wrapper.n_band
-                <= wrapper._ONEHOT_MAX_TB else "gather")
+        Tb = length // wrapper.n_band
+        plan = wrapper._ta_plan(Tb)
+        # SAME lowering as the live pitchshifter (wrapper._resample_kind)
+        # so reload == live holds bit-for-bit; "dense" bakes the
+        # prefolded resample constant into the artifact (~A bytes)
+        kind = wrapper._resample_kind(Tb, plan)
+        W = plan[9] if kind == "dense" else plan[4]
+        consts = tuple(jnp.asarray(a)
+                       for a in (*plan[:4], W, plan[5]))
 
         def step(x):
             return wrapper._pitchshifter_impl(

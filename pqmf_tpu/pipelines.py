@@ -628,10 +628,15 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
     zero_shift [M]; W [M, Tb, K_taps] banded resample weights; start
     [M, Tb] window starts into the pad_left-offset stretch buffer of
     static length Lbuf (see ops.resample.banded_resample_plan).
-    resample_kind: "onehot" (fast serving path; materializes an
-    O(Tb * Lbuf) intermediate per band) or "gather" (O(Tb * K_taps)
-    memory — the right choice for whole-file offline inputs where the
-    one-hot intermediate would not fit).
+    resample_kind:
+    - "dense": W is instead the prefolded constant A [M, Lbuf, Tb]
+      from _ta_plan (start is ignored) and the resample is ONE matmul
+      per band — the fastest serving form, at the cost of an
+      O(M*Lbuf*Tb) device-resident plan constant;
+    - "onehot": in-graph one-hot select + tap contraction (O(Tb * Lbuf)
+      transient per band);
+    - "gather": O(Tb * K_taps) memory — the right choice for whole-file
+      offline inputs where the others would not fit.
     Returns shifted [B, M, Tb].
     """
     B, M, _ = bands.shape
@@ -666,6 +671,16 @@ def _fused_ta_pitchshift(bands, rates, frames_out, len_stretch, zero_shift,
         ystr = ystr * (t < ls).astype(dt)
         ystr = jnp.pad(ystr,
                        ((0, 0), (pad_left, Lbuf - pad_left - ystr.shape[-1])))
+        if resample_kind == "dense":
+            # the banded weights and window starts are STATIC (numpy
+            # plan), so the whole resample is one matmul against the
+            # prefolded constant A_b [Lbuf, Tb] (A[start_j + k, j] =
+            # W[j, k], built in _ta_plan) — no Yk slice stack, no
+            # in-graph one-hot build, K_taps x fewer MXU FLOPs. Traced
+            # here as W_b. r4: the stack+select+contract chain was 47%
+            # of the 16-stream TA step (229 us select einsum + 156 us
+            # Yk concatenate per 813 us step, device trace).
+            return jnp.einsum("bl,lj->bj", ystr, W_b, precision=hp)
         if resample_kind == "gather":
             # O(Tb*K) memory; the gather is slow per-op on TPU (~2.4 ms
             # at Tb=512) but scales linearly — used for whole-file inputs
@@ -821,9 +836,22 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
             starts[i] = st + pad_left
         ystr_len = self._n_fft // 2 + (FO_max - 1) * self._hop
         Lbuf = max(pad_left + ystr_len, int(starts.max()) + Kt)
+        # prefolded dense resample matrices A[m, starts[m, j] + k, j] =
+        # W[m, j, k]: the whole banded resample becomes one matmul per
+        # band against a plan CONSTANT (resample_kind="dense"). Within a
+        # column j the K tap rows are distinct, so plain assignment
+        # builds it exactly; gated on resident bytes because plans are
+        # cached per Tb (the default serving geometry Tb=512 is ~36 MB).
+        A = None
+        if M * Lbuf * Tb * 4 <= self._DENSE_A_MAX_BYTES:
+            A = np.zeros((M, Lbuf, Tb), np.float32)
+            j = np.arange(Tb)
+            for m in range(M):
+                for k in range(Kt):
+                    A[m, starts[m] + k, j] = W[m, :, k]
         plan = (np.asarray(rates, np.float32), np.asarray(fo, np.int32),
                 np.asarray(ls, np.int32), np.asarray(zero, np.float32),
-                W, starts, FO_max, pad_left, Lbuf)
+                W, starts, FO_max, pad_left, Lbuf, A)
         self._ta_plans[Tb] = plan
         return plan
 
@@ -831,6 +859,21 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
     # band (~86 MB of transient per band at f32 by the crossover); the
     # threshold is shared with the flagship wrapper
     _ONEHOT_MAX_TB = _ONEHOT_MAX_TB_DEFAULT
+
+    # resident-bytes cap for the prefolded dense resample constant (plans
+    # are cached per Tb, so each distinct serving length keeps its A on
+    # device); the default serving geometry (buffer 8192 -> Tb=512) is
+    # ~36 MB, a 16384 buffer (Tb=1024, ~144 MB) falls back to one-hot
+    _DENSE_A_MAX_BYTES = 64 << 20
+
+    def _resample_kind(self, Tb: int, plan) -> str:
+        """Pick the resample lowering for this plan: the prefolded dense
+        matmul when the plan built it (fastest, r4: -47% of the 16-stream
+        step), else the in-graph one-hot below the memory crossover, else
+        the linear-memory gather."""
+        if plan[9] is not None:
+            return "dense"
+        return "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
 
     def _pitchshifter_impl(self, x, hkf, hki, rates, fo, ls, zero, W,
                            start, FO_max, pad_left, Lbuf, resample_kind):
@@ -879,9 +922,11 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         _check_buffer(T, self.n_band, self.max_buffer_size)
         Tb = T // self.n_band
         plan = self._ta_plan(Tb)
-        kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
+        kind = self._resample_kind(Tb, plan)
+        W = plan[9] if kind == "dense" else plan[4]
         return self._pitchshifter_jit(x, self.pqmf.hkf, self.pqmf.hki,
-                                      *plan[:6], FO_max=plan[6],
+                                      *plan[:4], W, plan[5],
+                                      FO_max=plan[6],
                                       pad_left=plan[7], Lbuf=plan[8],
                                       resample_kind=kind)
 

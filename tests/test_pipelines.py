@@ -657,3 +657,39 @@ def test_frame_select_lowerings_bit_identical_across_crossover():
         for a, b, c in zip(outs["take"], outs["onehot"], auto):
             np.testing.assert_array_equal(a, b)
             np.testing.assert_array_equal(a, c)
+
+
+def test_ta_dense_resample_matches_onehot_and_plan():
+    """resample_kind='dense' (r4: the banded plan prefolded into one
+    constant matmul per band) must match the in-graph one-hot form to
+    float32 round-off, and the plan's A must BE the fold of (W, start)."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    w = PQMFPitchShiftWrapperTA(100, 8, 2048, 44100,
+                                [0, -3, 5, 12, -7, 2, 1, -1])
+    Tb = 2048 // 8
+    plan = w._ta_plan(Tb)
+    A = plan[9]
+    assert A is not None and w._resample_kind(Tb, plan) == "dense"
+    # structural check: A[m, start[m, j] + k, j] == W[m, j, k], zero
+    # elsewhere (within a column the K tap rows are distinct)
+    W, starts = plan[4], plan[5]
+    M, _, Kt = W.shape
+    ref = np.zeros_like(A)
+    j = np.arange(Tb)
+    for m in range(M):
+        for k in range(Kt):
+            ref[m, starts[m] + k, j] = W[m, :, k]
+    np.testing.assert_array_equal(A, ref)
+
+    x = np.random.default_rng(11).standard_normal(
+        (2, 1, 2048)).astype(np.float32) * 0.3
+    y_dense = np.asarray(w.pitchshifter(x))
+    y_onehot = np.asarray(w._pitchshifter_jit(
+        jnp.asarray(x), w.pqmf.hkf, w.pqmf.hki, *plan[:6],
+        FO_max=plan[6], pad_left=plan[7], Lbuf=plan[8],
+        resample_kind="onehot"))
+    err = ((y_dense - y_onehot) ** 2).sum()
+    snr = 10 * np.log10(max((y_onehot ** 2).sum(), 1e-30)
+                        / max(err, 1e-30))
+    assert snr > 120, f"dense-vs-onehot resample parity {snr:.1f} dB"

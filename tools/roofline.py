@@ -158,18 +158,28 @@ def main():
         _, y = w.pitchshift_streams(states16, v.reshape(NS, BLK))
         return y.reshape(NS, BLK)
 
+    blk16ta = jnp.asarray(
+        rng.standard_normal((NS, 1, BLK)).astype(np.float32))
+
+    def ta_step16(v):
+        return wt.pitchshifter(v.reshape(NS, 1, BLK)).reshape(NS, 1, BLK)
+
+    fl_ta = (fl_ana + fl_syn
+             # conv legs + STFT/ISTFT bases at the TA geometry + the
+             # banded resample (width from the plan's weight matrix)
+             + 2 * M * frames_t * n_fft_t * (2 * F_t)
+             + 2 * M * fo_max_ta * (2 * F_t) * n_fft_t
+             + 2 * M * Tb * Kt)
+
     for name, fn, inp, streams, nbytes, flops in [
             ("flagship pitchshift step (8192)", flag_step, blk, 1,
              by_step, fl_step),
             ("flagship step x16 streams", flag_step16, blk16, NS,
              NS * by_step, NS * fl_step),
             ("TA pitchshift step (8192)", ta_step, blk, 1, 2 * BLK * f32,
-             # conv legs + STFT/ISTFT bases at the TA geometry + the
-             # banded resample (width from the plan's weight matrix)
-             fl_ana + fl_syn
-             + 2 * M * frames_t * n_fft_t * (2 * F_t)
-             + 2 * M * fo_max_ta * (2 * F_t) * n_fft_t
-             + 2 * M * Tb * Kt)]:
+             fl_ta),
+            ("TA step x16 batched", ta_step16, blk16ta, NS,
+             NS * 2 * BLK * f32, NS * fl_ta)]:
         ms = chained_ms(fn, inp, n=max(args.chain, 200))
         gbs = nbytes / (ms * 1e-3) / 1e9
         gfs = flops / (ms * 1e-3) / 1e9
