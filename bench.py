@@ -229,7 +229,7 @@ def bench_ta_pitchshift(n_blocks=1024):
     blocks2 = jnp.concatenate([blocks, blocks])
     Tb = 8192 // N_BAND
     plan = w._ta_plan(Tb)
-    kind = w._resample_kind(Tb, plan)  # dense at this geometry (r4)
+    kind = w._resample_kind(Tb, plan, 1)  # B=1 blocks -> onehot (r4)
     Wm = plan[9] if kind == "dense" else plan[4]
     args = tuple(jnp.asarray(a) for a in (*plan[:4], Wm, plan[5]))
     FO_max, pad_left, Lbuf = plan[6:9]

@@ -175,7 +175,7 @@ def export_stablehlo(wrapper, length: int) -> bytes:
         # SAME lowering as the live pitchshifter (wrapper._resample_kind)
         # so reload == live holds bit-for-bit; "dense" bakes the
         # prefolded resample constant into the artifact (~A bytes)
-        kind = wrapper._resample_kind(Tb, plan)
+        kind = wrapper._resample_kind(Tb, plan, 1)  # exported step is B=1
         W = plan[9] if kind == "dense" else plan[4]
         consts = tuple(jnp.asarray(a)
                        for a in (*plan[:4], W, plan[5]))

@@ -112,6 +112,16 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
 # together (r3 review: two independent copies could silently diverge)
 _ONEHOT_MAX_TB_DEFAULT = 2048
 
+# resident-bytes cap for the prefolded dense resample constants (r4):
+# both pipelines' stretch resamples have STATIC numpy plans, so the
+# whole resample prefolds into one constant matmul per band
+# (resample_kind="dense") — the fastest serving form. Plans are cached
+# per Tb, so each distinct serving length keeps its matrix on device;
+# the default serving geometry (buffer 8192 -> Tb=512) is ~55 MB, a
+# 16384 buffer would be ~144-176 MB and falls back to the in-graph
+# one-hot build.
+_DENSE_A_MAX_BYTES = 64 << 20
+
 
 # ---------------------------------------------------------------------------
 # fused per-band phase-vocoder shift (the hot path)
@@ -124,7 +134,8 @@ _ONEHOT_MAX_TB_DEFAULT = 2048
 def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
                            fade_in, n_fft, hop, win, Tb, FO_max,
                            crossfade=True, phase_rule="reference",
-                           precision="highest", resample_kind="onehot"):
+                           precision="highest", resample_kind="onehot",
+                           interp_A=None):
     """Pitch-shift every sub-band in one fused program.
 
     bands: [B, M, Tb]; rates/frames_out: [M].
@@ -132,10 +143,14 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     1-PitchShifterWrapper.py:262): prev_tail [M, L].
     crossfade "batched" (multi-stream serving): prev_tail [M, B, L] —
     every batch row keeps its own carried tail.
-    resample_kind: "onehot" (gather-free, the serving path; materializes
-    an O(Tb * stretch_len) weight matrix per band) or "gather"
-    (linear memory — whole-file offline inputs, same trade as the TA
-    pipeline's fallback).
+    resample_kind:
+    - "dense": the stretch-back resample is ONE matmul per band against
+      the prefolded plan constant ``interp_A`` [M, total, Tb]
+      (PQMFPitchShiftWrapper._fold_interp) — the fastest serving form;
+    - "onehot": gather-free in-graph build (O(Tb * stretch_len) weight
+      matrix per band);
+    - "gather": linear memory — whole-file offline inputs, same trade
+      as the TA pipeline's fallback.
     Returns (shifted [B, M, Tb], new_tail like prev_tail).
     """
     B, M, _ = bands.shape
@@ -228,14 +243,21 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
     # stretch length — no per-band static specialization needed (the
     # earlier per-band strided-slice unrolling cost ~0.08 ms/block of
     # small-op overhead; this path measures below the timing floor)
-    def interp(p_b, fo):
-        length_stretch = jnp.maximum((fo - 1) * hop + n_fft, 1)
-        if resample_kind == "gather":
-            return rs.interpolate_linear_dynamic_gather(
-                p_b, length_stretch, Tb)
-        return rs.interpolate_linear_dynamic(p_b, length_stretch, Tb)
+    if resample_kind == "dense":
+        # prefolded lerp weights (bit-identical to the in-graph one-hot
+        # build — see _fold_interp); HIGHEST to match
+        # interpolate_linear_dynamic's hard-coded matmul precision
+        shifted = jnp.einsum("mbl,mlj->mbj", P, interp_A,
+                             precision=jax.lax.Precision.HIGHEST)
+    else:
+        def interp(p_b, fo):
+            length_stretch = jnp.maximum((fo - 1) * hop + n_fft, 1)
+            if resample_kind == "gather":
+                return rs.interpolate_linear_dynamic_gather(
+                    p_b, length_stretch, Tb)
+            return rs.interpolate_linear_dynamic(p_b, length_stretch, Tb)
 
-    shifted = jax.vmap(interp)(P, frames_out)  # [M, B, Tb]
+        shifted = jax.vmap(interp)(P, frames_out)  # [M, B, Tb]
 
     # --- crossfade against the carried per-band tail ---
     L = prev_tail.shape[-1]
@@ -471,25 +493,76 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
             # numpy (not jnp): this cache outlives any trace context, and a
             # jnp constant created during jax.export tracing would be a
             # leaked tracer (UnexpectedTracerError on reuse).
-            plan = (np.asarray(fo, np.int32), max(fo))
+            A = self._fold_interp(Tb, fo)
+            plan = (np.asarray(fo, np.int32), max(fo), A)
             self._plans[Tb] = plan
         return plan
+
+    def _fold_interp(self, Tb: int, fo: list):
+        """Prefold the per-band stretch-back resample
+        (ops.resample.interpolate_linear_dynamic with each band's STATIC
+        stretch length) into one constant A [M, total, Tb] so the serving
+        step's resample is ONE matmul per band (resample_kind="dense";
+        r4: the in-graph one-hot lerp build was 23% of the 16-stream
+        step, device trace). The numpy f32 scalar arithmetic below
+        replicates the traced index/weight math bit-exactly (verify
+        ledger: np.float32 reproduces XLA/torch f32 scalar rounding),
+        including the documented 1-ulp (1-a)+a clamp-case behavior via
+        the += accumulation. Returns None past the resident-byte gate."""
+        total = self.n_fft + (max(fo) - 1) * self.hop
+        if self.n_band * total * Tb * 4 > _DENSE_A_MAX_BYTES:
+            return None
+        A = np.zeros((self.n_band, total, Tb), np.float32)
+        j = np.arange(Tb)
+        for m, fo_m in enumerate(fo):
+            L = max((fo_m - 1) * self.hop + self.n_fft, 1)
+            src = ((np.arange(Tb, dtype=np.float32) + np.float32(0.5))
+                   * (np.float32(L) / np.float32(Tb)) - np.float32(0.5))
+            src = np.clip(src, np.float32(0.0),
+                          np.float32(max(L - 1, 0)))
+            i0 = np.floor(src).astype(np.int32)
+            i1 = np.minimum(i0 + 1, max(L - 1, 0))
+            i0 = np.clip(i0, 0, total - 1)
+            i1 = np.clip(i1, 0, total - 1)
+            a = (src - i0.astype(np.float32)).astype(np.float32)
+            A[m, i0, j] += np.float32(1.0) - a
+            A[m, i1, j] += a
+        return A
 
     # the shared one-hot/gather crossover (module docstring at the
     # constant; same trade as PQMFPitchShiftWrapperTA)
     _ONEHOT_MAX_TB = _ONEHOT_MAX_TB_DEFAULT
 
+    # the prefolded dense resample only pays once its ~55 MB constant
+    # read amortizes across streams: same-window A/B at the default
+    # geometry measured dense/onehot = 2.69x at B=1 (0.140 vs 0.052 ms
+    # - the lean single-stream step is dominated by reading A) but
+    # 0.92x at B=16; crossover modeled at ~8 streams
+    _DENSE_MIN_B = 8
+
+    def _resample_kind(self, Tb: int, A, B: int) -> str:
+        """Pick the stretch-resample lowering: the prefolded dense matmul
+        when the plan built it AND the batch amortizes its constant read
+        (see _DENSE_MIN_B; r4 device trace: the in-graph one-hot build
+        was 23% of the 16-stream step), else the in-graph one-hot below
+        the memory crossover, else the linear-memory gather."""
+        if A is not None and B >= self._DENSE_MIN_B:
+            return "dense"
+        return "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
+
     def pitchshift_fn(self, state, x):
         """(state, x [1,T] | [B,1,T]) -> (state', y [B, T])."""
         sub = self.decompose(x)  # [B, M, Tb]
         B, _, Tb = sub.shape
-        frames_out, FO_max = self._plan(Tb)
-        kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
+        frames_out, FO_max, A = self._plan(Tb)
+        kind = self._resample_kind(Tb, A, B)
+        if kind != "dense":
+            A = None
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
             Tb, FO_max, crossfade=(B == 1), phase_rule=self.phase_rule,
-            precision=self.precision, resample_kind=kind)
+            precision=self.precision, resample_kind=kind, interp_A=A)
         y = self.inverse(shifted)  # [B, 1, T]
         return {"prev_tail": new_tail}, y[:, 0, :]
 
@@ -527,14 +600,16 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         x: [n_streams, T] -> (states', y [n_streams, T])."""
         sub = self.decompose(x[:, None, :])  # [n_streams, M, Tb]
         Tb = sub.shape[-1]
-        frames_out, FO_max = self._plan(Tb)
+        frames_out, FO_max, A = self._plan(Tb)
         tails = jnp.swapaxes(states["prev_tail"], 0, 1)  # [M, S, L]
-        kind = "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
+        kind = self._resample_kind(Tb, A, sub.shape[0])
+        if kind != "dense":
+            A = None
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
             Tb, FO_max, crossfade="batched", phase_rule=self.phase_rule,
-            precision=self.precision, resample_kind=kind)
+            precision=self.precision, resample_kind=kind, interp_A=A)
         y = self.inverse(shifted)
         return ({"prev_tail": jnp.swapaxes(new_tails, 0, 1)}, y[:, 0, :])
 
@@ -843,7 +918,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         # builds it exactly; gated on resident bytes because plans are
         # cached per Tb (the default serving geometry Tb=512 is ~36 MB).
         A = None
-        if M * Lbuf * Tb * 4 <= self._DENSE_A_MAX_BYTES:
+        if M * Lbuf * Tb * 4 <= _DENSE_A_MAX_BYTES:
             A = np.zeros((M, Lbuf, Tb), np.float32)
             j = np.arange(Tb)
             for m in range(M):
@@ -860,18 +935,18 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
     # threshold is shared with the flagship wrapper
     _ONEHOT_MAX_TB = _ONEHOT_MAX_TB_DEFAULT
 
-    # resident-bytes cap for the prefolded dense resample constant (plans
-    # are cached per Tb, so each distinct serving length keeps its A on
-    # device); the default serving geometry (buffer 8192 -> Tb=512) is
-    # ~36 MB, a 16384 buffer (Tb=1024, ~144 MB) falls back to one-hot
-    _DENSE_A_MAX_BYTES = 64 << 20
+    # measured same-window (r4): dense/onehot = 0.45x at B=16, 0.85x at
+    # B=4, 1.02x (wash) at B=1 where reading the ~52 MB constant
+    # dominates - so dense turns on from 4 streams up
+    _DENSE_MIN_B = 4
 
-    def _resample_kind(self, Tb: int, plan) -> str:
+    def _resample_kind(self, Tb: int, plan, B: int) -> str:
         """Pick the resample lowering for this plan: the prefolded dense
-        matmul when the plan built it (fastest, r4: -47% of the 16-stream
-        step), else the in-graph one-hot below the memory crossover, else
-        the linear-memory gather."""
-        if plan[9] is not None:
+        matmul when the plan built it and the batch amortizes its
+        constant read (fastest, r4: -47% of the 16-stream step), else
+        the in-graph one-hot below the memory crossover, else the
+        linear-memory gather."""
+        if plan[9] is not None and B >= self._DENSE_MIN_B:
             return "dense"
         return "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
 
@@ -922,7 +997,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         _check_buffer(T, self.n_band, self.max_buffer_size)
         Tb = T // self.n_band
         plan = self._ta_plan(Tb)
-        kind = self._resample_kind(Tb, plan)
+        kind = self._resample_kind(Tb, plan, x.shape[0])
         W = plan[9] if kind == "dense" else plan[4]
         return self._pitchshifter_jit(x, self.pqmf.hkf, self.pqmf.hki,
                                       *plan[:4], W, plan[5],

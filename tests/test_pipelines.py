@@ -670,7 +670,11 @@ def test_ta_dense_resample_matches_onehot_and_plan():
     Tb = 2048 // 8
     plan = w._ta_plan(Tb)
     A = plan[9]
-    assert A is not None and w._resample_kind(Tb, plan) == "dense"
+    # dense is batch-gated (the constant read amortizes across streams):
+    # off at B=1, on from _DENSE_MIN_B streams up
+    assert A is not None
+    assert w._resample_kind(Tb, plan, 1) == "onehot"
+    assert w._resample_kind(Tb, plan, w._DENSE_MIN_B) == "dense"
     # structural check: A[m, start[m, j] + k, j] == W[m, j, k], zero
     # elsewhere (within a column the K tap rows are distinct)
     W, starts = plan[4], plan[5]
@@ -684,12 +688,45 @@ def test_ta_dense_resample_matches_onehot_and_plan():
 
     x = np.random.default_rng(11).standard_normal(
         (2, 1, 2048)).astype(np.float32) * 0.3
-    y_dense = np.asarray(w.pitchshifter(x))
-    y_onehot = np.asarray(w._pitchshifter_jit(
-        jnp.asarray(x), w.pqmf.hkf, w.pqmf.hki, *plan[:6],
+    y_dense = np.asarray(w._pitchshifter_jit(
+        jnp.asarray(x), w.pqmf.hkf, w.pqmf.hki,
+        *plan[:4], jnp.asarray(A), plan[5],
         FO_max=plan[6], pad_left=plan[7], Lbuf=plan[8],
-        resample_kind="onehot"))
+        resample_kind="dense"))
+    y_onehot = np.asarray(w.pitchshifter(x))  # B=2 -> the one-hot form
     err = ((y_dense - y_onehot) ** 2).sum()
     snr = 10 * np.log10(max((y_onehot ** 2).sum(), 1e-30)
                         / max(err, 1e-30))
     assert snr > 120, f"dense-vs-onehot resample parity {snr:.1f} dB"
+
+
+def test_flagship_dense_interp_matches_onehot():
+    """The flagship's prefolded stretch-back lerp (resample_kind='dense',
+    batch-gated serving form) must match the in-graph one-hot lerp to
+    float32 round-off, and the batch gate must route B=1 away from it."""
+    from pqmf_tpu.pipelines import (PQMFPitchShiftWrapper,
+                                    _fused_band_pitchshift)
+
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100)
+    Tb = 512
+    fo, FO_max, A = w._plan(Tb)
+    assert A is not None
+    assert w._resample_kind(Tb, A, 1) == "onehot"
+    assert w._resample_kind(Tb, A, w._DENSE_MIN_B) == "dense"
+
+    x = np.random.default_rng(17).standard_normal(
+        (1, 1, 8192)).astype(np.float32) * 0.3
+    sub = w.decompose(x)
+    outs = {}
+    for kind in ("dense", "onehot"):
+        sh, _ = _fused_band_pitchshift(
+            sub, w._rates, fo, w.init_state()["prev_tail"],
+            w._fade_out, w._fade_in, w.n_fft, w.hop, w.win, Tb, FO_max,
+            crossfade=True, phase_rule=w.phase_rule, precision=w.precision,
+            resample_kind=kind,
+            interp_A=jnp.asarray(A) if kind == "dense" else None)
+        outs[kind] = np.asarray(w.inverse(sh))
+    err = ((outs["dense"] - outs["onehot"]) ** 2).sum()
+    snr = 10 * np.log10(max((outs["onehot"] ** 2).sum(), 1e-30)
+                        / max(err, 1e-30))
+    assert snr > 120, f"flagship dense-vs-onehot lerp parity {snr:.1f} dB"
