@@ -307,9 +307,12 @@ def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
     the training objective (``make_finetune_loss`` trims the same edge
     region, for the same documented reason). Round 4 re-pinned every
     committed number under this definition together with the corrected
-    (256,256) analysis padding."""
+    (256,256) analysis padding. The alignment/trim math itself is
+    single-sourced in ``utils.metrics.aligned_roundtrip_snr_db`` (the
+    steady-state definition of its definition pair)."""
     from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
     from pqmf_tpu.utils.audio import read_wav
+    from pqmf_tpu.utils.metrics import aligned_roundtrip_snr_db
 
     x, _ = read_wav(wav_path)
     if x.shape[0] > 1:
@@ -319,12 +322,9 @@ def streaming_roundtrip_snr(params, attenuation: float, n_band: int,
     if params is not None:
         sp.set_weights(params, *kernels_from_params(params))
     y = np.asarray(sp.roundtrip(x[None]))
-    d = sp.centered_delay
-    ya, xa = y[0, 0][d:], x[0][: x.shape[-1] - d]
-    t = int(sp.params["hk"].shape[-1])  # one bank length per edge
-    ya, xa = ya[t:-t], xa[t:-t]
-    return float(10 * np.log10(float((xa ** 2).sum())
-                               / float(((ya - xa) ** 2).sum())))
+    return aligned_roundtrip_snr_db(
+        x[0], y[0, 0], sp.centered_delay,
+        edge_trim=int(sp.params["hk"].shape[-1]))
 
 
 def available_pretrained_banks() -> list[str]:
