@@ -173,12 +173,14 @@ def export_stablehlo(wrapper, length: int) -> bytes:
         Tb = length // wrapper.n_band
         plan = wrapper._ta_plan(Tb)
         # SAME lowering as the live pitchshifter (wrapper._resample_kind)
-        # so reload == live holds bit-for-bit; "dense" bakes the
-        # prefolded resample constant into the artifact (~A bytes)
-        kind = wrapper._resample_kind(Tb, plan, 1)  # exported step is B=1
-        W = plan[9] if kind == "dense" else plan[4]
+        # so reload == live holds bit-for-bit. The exported step is B=1,
+        # and the dense lowering is batch-gated (_DENSE_MIN_B > 1), so
+        # artifacts always serialize the lean banded plan, never the
+        # ~52 MB prefolded dense constant.
+        kind = wrapper._resample_kind(Tb, plan, 1)
+        assert kind != "dense", "B=1 export cannot take the dense lowering"
         consts = tuple(jnp.asarray(a)
-                       for a in (*plan[:4], W, plan[5]))
+                       for a in (*plan[:4], plan[4], plan[5]))
 
         def step(x):
             return wrapper._pitchshifter_impl(

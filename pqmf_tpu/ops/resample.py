@@ -30,6 +30,7 @@ __all__ = [
     "interpolate_linear",
     "interpolate_linear_dynamic",
     "interpolate_linear_dynamic_gather",
+    "interpolate_linear_dynamic_chunked",
     "sinc_resample_kernel",
     "sinc_resample",
     "banded_resample_plan",
@@ -116,6 +117,66 @@ def interpolate_linear_dynamic_gather(x: jax.Array, src_len: jax.Array,
     a = (src - i0).astype(x.dtype)
     return (jnp.take(x, i0, axis=-1) * (1 - a)
             + jnp.take(x, i1, axis=-1) * a)
+
+
+@partial(jax.jit, static_argnames=("size", "chunk"))
+def interpolate_linear_dynamic_chunked(x: jax.Array, src_len: jax.Array,
+                                       size: int, chunk: int = 2048):
+    """Chunked one-hot form of :func:`interpolate_linear_dynamic` for
+    WHOLE-FILE sizes: identical index/weight math, executed as a
+    ``lax.scan`` of ``size/chunk`` small one-hot matmuls instead of one
+    O(T * size) weight matrix (gigabytes at file scale) or two minor-dim
+    gathers (the ~100x-slow pattern on this TPU — the r4 whole-file
+    bench's only non-matmul stage).
+
+    Each output chunk's source taps live in a contiguous span of at most
+    ``ceil(chunk * T/size) + 3`` input samples (the lerp is monotonic, 2
+    taps per output), so the scan body dynamic-slices that bounded span,
+    builds a [chunk, span] two-nonzeros-per-row weight matrix from
+    iota==index compares in LOCAL coordinates, and runs one
+    ``[B, span] @ [span, chunk]`` dot. Weights match the one-hot form
+    bit-for-bit (same a, same clamped i0/i1), so results agree to the
+    matmul's float32 reduction-order round-off.
+    """
+    T = x.shape[-1]
+    if size % chunk:
+        raise ValueError(f"size {size} must be a multiple of chunk {chunk}")
+    n_chunks = size // chunk
+    # static span bound: src advances by scale = src_len/size <= T/size
+    # per output sample, so a chunk's i1 range fits in chunk*T/size + 3
+    span = min(T, -(-chunk * T // size) + 3)
+    slf = src_len.astype(jnp.float32)
+    scale = slf / size
+
+    j_local = jnp.arange(chunk, dtype=jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (chunk, span), 1)
+
+    def body(_, c):
+        src = (c.astype(jnp.float32) * chunk + j_local + 0.5) * scale - 0.5
+        src = jnp.clip(src, 0.0, jnp.maximum(slf - 1, 0))
+        i0 = jnp.floor(src).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, jnp.maximum(src_len - 1, 0))
+        i0 = jnp.clip(i0, 0, T - 1)
+        i1 = jnp.clip(i1, 0, T - 1)
+        a = (src - i0).astype(x.dtype)
+        # base <= i0[0] <= every tap; clamped so base+span <= T. The
+        # clamp only DECREASES base, and i1 - i0[0] <= chunk*scale + 1
+        # <= span - 2, so local indices stay inside [0, span).
+        base = jnp.minimum(i0[0], T - span)
+        sl = jax.lax.dynamic_slice_in_dim(x, base, span, axis=-1)
+        l0 = (i0 - base)[:, None]
+        l1 = (i1 - base)[:, None]
+        Wm = ((p == l0).astype(x.dtype) * (1 - a)[:, None]
+              + (p == l1).astype(x.dtype) * a[:, None])
+        y = jnp.einsum("...p,jp->...j", sl, Wm,
+                       precision=jax.lax.Precision.HIGHEST)
+        return None, y
+
+    _, ys = jax.lax.scan(body, None,
+                         jnp.arange(n_chunks, dtype=jnp.int32))
+    # ys: [n_chunks, ..., chunk] -> [..., size]
+    ys = jnp.moveaxis(ys, 0, -2)
+    return ys.reshape(*x.shape[:-1], size)
 
 
 def sinc_resample_kernel(orig_freq: int, new_freq: int,

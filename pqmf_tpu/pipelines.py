@@ -25,6 +25,7 @@ real-time hosts.
 from __future__ import annotations
 
 import math
+import weakref
 from functools import partial
 
 import jax
@@ -123,9 +124,30 @@ _ONEHOT_MAX_TB_DEFAULT = 2048
 _DENSE_A_MAX_BYTES = 64 << 20
 
 
+def _resample_chunk(Tb: int) -> int:
+    """Static output-chunk size for the whole-file "chunked" stretch
+    resample: the largest power-of-two divisor of Tb, capped at 2048
+    (the default serving Tb — keeps each scanned one-hot matmul
+    MXU-sized). Returns 0 when Tb has no divisor >= 128, in which case
+    the caller falls back to the linear-memory gather."""
+    c = Tb & -Tb  # largest power-of-two divisor
+    c = min(c, 2048)
+    return c if c >= 128 else 0
+
+
 # ---------------------------------------------------------------------------
 # fused per-band phase-vocoder shift (the hot path)
 # ---------------------------------------------------------------------------
+
+# trace-time pin for tools/ab_trig.py ONLY: "stub" replaces the VPU
+# transcendentals in the flagship stretch (the atan2 over every input
+# bin, the cos/sin over every stretched bin) with same-shape cheap
+# elementwise ops, bounding the attainable win from any trig
+# optimization (VERDICT r4 item 3; DESIGN §5c attributes the step's
+# 1.45x-of-conv-bound residual to this trig). Audio under the stub is
+# garbage — never expose it as a user mode. A/B tools must
+# jax.clear_caches() per arm (the jit trace cache ignores this global).
+_TRIG = "real"
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win", "Tb", "FO_max",
@@ -149,8 +171,12 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
       (PQMFPitchShiftWrapper._fold_interp) — the fastest serving form;
     - "onehot": gather-free in-graph build (O(Tb * stretch_len) weight
       matrix per band);
-    - "gather": linear memory — whole-file offline inputs, same trade
-      as the TA pipeline's fallback.
+    - "chunked": whole-file offline inputs — lax.scan of per-chunk
+      one-hot matmuls over bounded source spans (O(chunk * span) live
+      memory; see ops.resample.interpolate_linear_dynamic_chunked);
+    - "gather": linear memory — the pre-r5 whole-file fallback (two
+      minor-dim takes, the documented ~100x-slow pattern on this TPU),
+      kept for Tb with no usable chunk divisor and as the A/B baseline.
     Returns (shifted [B, M, Tb], new_tail like prev_tail).
     """
     B, M, _ = bands.shape
@@ -186,7 +212,10 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
         """re_b/im_b: [B, F, frames]; rate: f32; fo: i32 (frames_out)."""
         # reference magphase + stretch rule, padded to FO_max and masked
         mag = jnp.sqrt(re_b * re_b + im_b * im_b + 1e-12)
-        phase = jnp.arctan2(im_b, re_b)
+        if _TRIG == "stub":  # measurement-only, see module global
+            phase = im_b * 0.73 + re_b * 0.21
+        else:
+            phase = jnp.arctan2(im_b, re_b)
 
         j = jnp.arange(FO_max, dtype=bands.dtype)
         t_prime = j * rate
@@ -211,8 +240,12 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
         else:  # the reference's per-frame-independent rule
             phi = phi0 + om + a * dp
         fmask = (jnp.arange(FO_max) < fo).astype(bands.dtype)
-        re_s = mag_s * jnp.cos(phi) * fmask[None, None, :]
-        im_s = mag_s * jnp.sin(phi) * fmask[None, None, :]
+        if _TRIG == "stub":  # measurement-only, see module global
+            cph, sph = phi * 0.9, 1.0 - phi * 0.45
+        else:
+            cph, sph = jnp.cos(phi), jnp.sin(phi)
+        re_s = mag_s * cph * fmask[None, None, :]
+        im_s = mag_s * sph * fmask[None, None, :]
 
         # masked OLA ISTFT over the full (untrimmed) buffer
         y, wsq = S.istft_ri_parts(re_s, im_s, n_fft, hop, window,
@@ -255,6 +288,9 @@ def _fused_band_pitchshift(bands, rates, frames_out, prev_tail, fade_out,
             if resample_kind == "gather":
                 return rs.interpolate_linear_dynamic_gather(
                     p_b, length_stretch, Tb)
+            if resample_kind == "chunked":
+                return rs.interpolate_linear_dynamic_chunked(
+                    p_b, length_stretch, Tb, chunk=_resample_chunk(Tb))
             return rs.interpolate_linear_dynamic(p_b, length_stretch, Tb)
 
         shifted = jax.vmap(interp)(P, frames_out)  # [M, B, Tb]
@@ -435,6 +471,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         self._rates_py = rates
         self.Tb = m_buffer_size // n_band
         self._plans = {}
+        self._dense_dev = {}
         if phase_rule not in ("reference", "accumulate"):
             raise ValueError(f"unknown phase_rule {phase_rule!r}: expected "
                              "'reference' or 'accumulate'")
@@ -540,15 +577,48 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
     # 0.92x at B=16; crossover modeled at ~8 streams
     _DENSE_MIN_B = 8
 
+    # measurement/expert knob: pin the stretch-resample lowering
+    # ("dense"/"onehot"/"chunked"/"gather") regardless of the crossover
+    # logic below. Every lowering is bit-compatible (tested), so this
+    # only moves time, never audio. Used by tools/ab_wholefile.py.
+    resample_override: str | None = None
+
     def _resample_kind(self, Tb: int, A, B: int) -> str:
         """Pick the stretch-resample lowering: the prefolded dense matmul
         when the plan built it AND the batch amortizes its constant read
         (see _DENSE_MIN_B; r4 device trace: the in-graph one-hot build
         was 23% of the 16-stream step), else the in-graph one-hot below
-        the memory crossover, else the linear-memory gather."""
+        the memory crossover, else the chunked scan-of-one-hot-matmuls
+        form for whole-file lengths (r5 same-window A/B at Tb=81920:
+        gather/chunked = 2.15x, 28.8 -> 13.4 ms per 29.7 s call, parity
+        337 dB — tools/ab_wholefile.py), with the gather kept for Tb
+        with no usable chunk divisor."""
+        if self.resample_override is not None:
+            return self.resample_override
         if A is not None and B >= self._DENSE_MIN_B:
             return "dense"
-        return "onehot" if Tb <= self._ONEHOT_MAX_TB else "gather"
+        if Tb <= self._ONEHOT_MAX_TB:
+            return "onehot"
+        return "chunked" if _resample_chunk(Tb) else "gather"
+
+    def _dense_device(self, Tb: int, A):
+        """Per-Tb device copy of the prefolded dense plan constant. The
+        plan caches numpy (trace-safety, see _plan), but an EAGER batched
+        step passes A as a traced jit argument — without this cache every
+        call re-uploads the ~56 MB constant host-to-device through the
+        ~25 ms tunnel (advisor r4). device_put under an ACTIVE trace
+        returns a DynamicJaxprTracer, which a cache would leak
+        (UnexpectedTracerError on reuse — same hazard class as the _plan
+        numpy rule); ensure_compile_time_eval forces a concrete committed
+        array in every context, so the cached value is always safe and
+        under an outer jit/scan it bakes in as a compile-time constant
+        exactly like the numpy form."""
+        dev = self._dense_dev.get(Tb)
+        if dev is None:
+            with jax.ensure_compile_time_eval():
+                dev = jax.device_put(np.asarray(A))
+            self._dense_dev[Tb] = dev
+        return dev
 
     def pitchshift_fn(self, state, x):
         """(state, x [1,T] | [B,1,T]) -> (state', y [B, T])."""
@@ -556,8 +626,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         B, _, Tb = sub.shape
         frames_out, FO_max, A = self._plan(Tb)
         kind = self._resample_kind(Tb, A, B)
-        if kind != "dense":
-            A = None
+        A = self._dense_device(Tb, A) if kind == "dense" else None
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
@@ -603,8 +672,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         frames_out, FO_max, A = self._plan(Tb)
         tails = jnp.swapaxes(states["prev_tail"], 0, 1)  # [M, S, L]
         kind = self._resample_kind(Tb, A, sub.shape[0])
-        if kind != "dense":
-            A = None
+        A = self._dense_device(Tb, A) if kind == "dense" else None
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
             self._fade_out, self._fade_in, self.n_fft, self.hop, self.win,
@@ -630,13 +698,60 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
     __call__ = forward
 
 
+# per-wrapper cache of compiled stream_ola programs, keyed by the static
+# harness geometry. The step closures below are rebuilt per program; a
+# bare @jax.jit on the harness body would MISS jit's trace cache on every
+# call (fresh closure identity) and re-trace + multi-dispatch through the
+# ~25 ms tunnel each time — exactly the r4 bench defect (VERDICT weak #1).
+# Weak keys: a dropped wrapper must not pin its compiled programs alive.
+_STREAM_OLA_JITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _stream_ola_program(wrapper, block: int, hop: int, n_frames: int,
+                        C: int):
+    """Build + jit the whole-file OLA harness for one static geometry:
+    frame -> Hann window -> lax.scan of (stateful pitchshift, round trip)
+    -> windowed overlap-add / Σwin². One XLA program, one dispatch."""
+
+    if C == 1:
+        state0 = wrapper.init_state()
+
+        def step(state, blk):
+            state, out = wrapper.pitchshift_fn(state, blk[:, None, :])
+            rec = wrapper.forward_fn(blk[:, None, :])
+            return state, (out, rec)
+    else:
+        state0 = wrapper.init_streams(C)
+
+        def step(states, blk):
+            states, out = wrapper.pitchshift_streams(states, blk)
+            rec = wrapper.forward_fn(blk[:, None, :])
+            return states, (out, rec)
+
+    @jax.jit
+    def run(xp):
+        window = S.hann_window(block, xp.dtype)
+        framed = S._frame_signal(xp, block, hop, n_frames)  # [C, N, block]
+        blocks = jnp.swapaxes(framed * window, 0, 1)        # [N, C, block]
+        _, (outs, recs) = jax.lax.scan(step, state0, blocks)
+        wsq = jnp.broadcast_to(window * window, (n_frames, block))
+        norm = S._ola(wsq, block, hop) + 1e-8  # harness's exact epsilon
+        pitch = S._ola(jnp.swapaxes(outs * window, 0, 1), block, hop) / norm
+        recon = S._ola(jnp.swapaxes(recs * window, 0, 1), block, hop) / norm
+        return pitch, recon
+
+    return run
+
+
 def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     """The whole block-streaming harness (reference 2-TestBlocks.py:86-126)
     as ONE jitted XLA program: Hann-windowed overlapping blocks ->
     ``lax.scan`` of the stateful pitchshift step (carried crossfade state)
     and of the plain round trip -> windowed overlap-add normalized by the
-    accumulated window energy. Zero per-block host round-trips — the
-    SURVEY §5 long-context north star.
+    accumulated window energy. The compiled program is cached per
+    (wrapper, block, hop, n_frames, channels), so repeated calls are ONE
+    dispatch each with zero re-tracing — the SURVEY §5 long-context north
+    star. Returns device arrays (no host syncs inside).
 
     x: [C, T] (or [T]); returns (pitch_stream [C, T], recon_stream
     [C, T]). With C > 1 (e.g. a stereo fixture) each channel rides its
@@ -654,33 +769,20 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
         raise ValueError("overlap must be in [0, block-1]")
     n_frames = 1 if T <= block else -(-(T - block) // hop) + 1
     total = (n_frames - 1) * hop + block
+
+    fns = _STREAM_OLA_JITS.setdefault(wrapper, {})
+    # weights_version: the compiled program bakes the filterbank weights
+    # at trace time; a set_weights (artifact restore / fine-tuned bank)
+    # must invalidate it rather than silently serve the old audio
+    key = (block, hop, n_frames, C,
+           getattr(wrapper.pqmf, "weights_version", 0))
+    run = fns.get(key)
+    if run is None:
+        run = _stream_ola_program(wrapper, block, hop, n_frames, C)
+        fns[key] = run
+
     xp = jnp.pad(x, ((0, 0), (0, total - T)))
-
-    window = S.hann_window(block, x.dtype)
-    framed = S._frame_signal(xp, block, hop, n_frames)  # [C, N, block]
-    blocks = jnp.swapaxes(framed * window, 0, 1)        # [N, C, block]
-
-    if C == 1:
-        def step(state, blk):
-            state, out = wrapper.pitchshift_fn(state, blk[:, None, :])
-            rec = wrapper.forward_fn(blk[:, None, :])
-            return state, (out, rec)
-
-        state0 = wrapper.init_state()
-    else:
-        def step(states, blk):
-            states, out = wrapper.pitchshift_streams(states, blk)
-            rec = wrapper.forward_fn(blk[:, None, :])
-            return states, (out, rec)
-
-        state0 = wrapper.init_streams(C)
-
-    _, (outs, recs) = jax.lax.scan(step, state0, blocks)  # [N, C, block]
-
-    wsq = jnp.broadcast_to(window * window, (n_frames, block))
-    norm = S._ola(wsq, block, hop) + 1e-8  # the harness's exact epsilon
-    pitch = S._ola(jnp.swapaxes(outs * window, 0, 1), block, hop) / norm
-    recon = S._ola(jnp.swapaxes(recs * window, 0, 1), block, hop) / norm
+    pitch, recon = run(xp)
     return pitch[:, :T], recon[:, :T]
 
 
@@ -842,6 +944,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         self._n_fft, self._win, self._hop = (sh0.n_fft, sh0.win_length,
                                              sh0.hop_length)
         self._ta_plans = {}
+        self._dense_dev = {}
         self._pitchshifter_jit = jax.jit(
             self._pitchshifter_impl,
             static_argnames=("FO_max", "pad_left", "Lbuf",
@@ -916,7 +1019,8 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         # band against a plan CONSTANT (resample_kind="dense"). Within a
         # column j the K tap rows are distinct, so plain assignment
         # builds it exactly; gated on resident bytes because plans are
-        # cached per Tb (the default serving geometry Tb=512 is ~36 MB).
+        # cached per Tb (the default serving geometry Tb=512 is ~52 MB:
+        # 16 bands x Lbuf~1679 x 512 x 4 B).
         A = None
         if M * Lbuf * Tb * 4 <= _DENSE_A_MAX_BYTES:
             A = np.zeros((M, Lbuf, Tb), np.float32)
@@ -998,7 +1102,18 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         Tb = T // self.n_band
         plan = self._ta_plan(Tb)
         kind = self._resample_kind(Tb, plan, x.shape[0])
-        W = plan[9] if kind == "dense" else plan[4]
+        if kind == "dense":
+            # cached per-Tb device copy: an eager batched call would
+            # otherwise re-upload the ~52 MB plan constant through the
+            # tunnel every step (advisor r4; see the flagship's
+            # _dense_device for the trace-safety argument)
+            W = self._dense_dev.get(Tb)
+            if W is None:
+                with jax.ensure_compile_time_eval():
+                    W = jax.device_put(np.asarray(plan[9]))
+                self._dense_dev[Tb] = W
+        else:
+            W = plan[4]
         return self._pitchshifter_jit(x, self.pqmf.hkf, self.pqmf.hki,
                                       *plan[:4], W, plan[5],
                                       FO_max=plan[6],

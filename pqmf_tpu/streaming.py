@@ -335,6 +335,10 @@ class StreamingPQMF:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.hkf = jnp.asarray(hkf)
         self.hki = jnp.asarray(hki)
+        # caches that BAKE the weights at trace time (pipelines'
+        # stream_ola programs) key on this counter so a weight swap
+        # invalidates them instead of silently serving stale audio
+        self.weights_version = getattr(self, "weights_version", 0) + 1
         M = self.n_band
         if self.use_pallas:
             # re-gate the kernel halos: a longer restored bank must

@@ -7,6 +7,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from pqmf_tpu.pipelines import (
@@ -302,6 +303,7 @@ def test_ta_fused_matches_per_band_loop(n_band, buf, shifts):
     assert snr > 90, f"fused-vs-loop parity only {snr:.1f} dB"
 
 
+@pytest.mark.slow  # whole-file TA compile ~80 s; full lane only
 def test_ta_fused_whole_file_uses_linear_memory_path():
     """Whole-file inputs (the reference main's use, PQMFPsWrapper.py:177)
     exceed the one-hot resample's O(Tb^2) memory; pitchshifter must route
@@ -466,6 +468,52 @@ def test_stream_ola_matches_host_loop():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_stream_ola_program_is_cached_no_retrace():
+    """stream_ola must be ONE compiled program reused across calls
+    (VERDICT r4 weak #1: the eager version re-traced every call because
+    the step closure was new each time, so the 'one dispatch' claim was
+    false and the bench measured the tunnel). Pins: one cached program
+    per geometry, exactly one jit trace total across repeat calls, and a
+    set_weights invalidates the cache instead of serving stale audio."""
+    from pqmf_tpu.pipelines import (_STREAM_OLA_JITS, PQMFPitchShiftWrapper,
+                                    stream_ola)
+    from pqmf_tpu.streaming import kernels_from_params
+
+    rng = np.random.default_rng(5)
+    w = PQMFPitchShiftWrapper(70, 4, 512,
+                              shifts_in_semitones=[1, -1, 3, -3])
+    x = rng.standard_normal((1, 2000)).astype(np.float32) * 0.1
+
+    p1, r1 = stream_ola(w, x, 512)
+    fns = _STREAM_OLA_JITS[w]
+    assert len(fns) == 1
+    (run,) = fns.values()
+    assert run._cache_size() == 1
+    p2, r2 = stream_ola(w, x, 512)
+    assert len(fns) == 1 and run._cache_size() == 1  # no retrace
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    # a different geometry gets its own program, not a retrace of run
+    stream_ola(w, x, 512, overlap=128)
+    assert len(fns) == 2 and run._cache_size() == 1
+
+    # weight swap: cached programs bake weights at trace time, so the
+    # key must change (weights_version) and the audio must follow the
+    # new bank
+    pq = w.pqmf
+    scaled = {k: np.asarray(v) * (0.5 if k == "hk" else 1.0)
+              for k, v in pq.params.items()}
+    params = {k: scaled[k] for k in ("h", "hk", "hk_poly", "hk_ipoly")}
+    import pqmf_tpu.ops.filterbank as fb
+
+    params = fb.params_from_hk(scaled["hk"], h=scaled["h"])
+    pq.set_weights(params, *kernels_from_params(params))
+    p3, _ = stream_ola(w, x, 512)
+    assert len(fns) == 3  # new program under the new weights_version
+    assert not np.allclose(np.asarray(p3), np.asarray(p1))
+
+
 def test_long_stream_state_stays_bounded():
     """Soak: hundreds of blocks through the stateful pitchshift keep the
     crossfade state and output finite and bounded (no accumulation blowup
@@ -515,6 +563,7 @@ def test_fast_serving_precision_mode():
     assert np.asarray(ys).shape == (4, 8192)
 
 
+@pytest.mark.slow  # rebuilds + recompiles the fused TA step twice
 def test_ta_fused_path_respects_set_weights():
     """The fused pitchshifter takes the filterbank weights as traced jit
     ARGUMENTS; a pqmf.set_weights() (artifact restore / fine-tune) must
@@ -730,3 +779,81 @@ def test_flagship_dense_interp_matches_onehot():
     snr = 10 * np.log10(max((outs["onehot"] ** 2).sum(), 1e-30)
                         / max(err, 1e-30))
     assert snr > 120, f"flagship dense-vs-onehot lerp parity {snr:.1f} dB"
+
+
+def test_wholefile_routes_to_chunked_and_matches_gather():
+    """Past the one-hot memory crossover the flagship's stretch resample
+    now lowers to the chunked scan-of-matmuls form (r5: the gather was
+    the whole-file path's only non-matmul stage — the documented
+    ~100x-slow minor-dim pattern on the TPU). The audio must be
+    identical to the gather lowering up to float32 round-off, and the
+    resample_override knob must pin either form."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, _resample_chunk
+
+    w = PQMFPitchShiftWrapper(100, 4, 2048, 44100, max_buffer_size=None,
+                              shifts_in_semitones=[0, 2, -3, 7])
+    Tb = 4096  # past _ONEHOT_MAX_TB=2048, pow-2 so a chunk divisor exists
+    assert _resample_chunk(Tb) == 2048
+    fo, FO_max, A = w._plan(Tb)
+    assert w._resample_kind(Tb, A, 1) == "chunked"
+    # no usable divisor -> gather fallback stays reachable
+    assert w._resample_kind(2049 * 2, None, 1) == "gather"
+
+    x = jnp.asarray(0.2 * np.random.default_rng(23).standard_normal(
+        (1, 1, 4 * Tb)).astype(np.float32))
+    outs = {}
+    for kind in ("chunked", "gather"):
+        w.resample_override = kind
+        _, y = w.pitchshift_fn(w.init_state(), x)
+        outs[kind] = np.asarray(y)
+    w.resample_override = None
+    _, y_def = w.pitchshift_fn(w.init_state(), x)
+    np.testing.assert_array_equal(np.asarray(y_def), outs["chunked"])
+    np.testing.assert_allclose(outs["chunked"], outs["gather"],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dense_device_cache_is_trace_safe():
+    """The per-Tb device copies of the prefolded dense constants (advisor
+    r4: eager batched steps must not re-upload ~52-56 MB per call) must
+    stay concrete even when the FIRST dense-path call happens inside an
+    outer trace: a bare device_put there returns a DynamicJaxprTracer,
+    and caching it raises UnexpectedTracerError on the next call (the
+    exact failure tools/ab_trig.py hit when chaining pitchshift_streams
+    under a fori_loop with a cold cache)."""
+    from pqmf_tpu.pipelines import (PQMFPitchShiftWrapper,
+                                    PQMFPitchShiftWrapperTA)
+
+    rng = np.random.default_rng(3)
+
+    w = PQMFPitchShiftWrapper(100, 16, 8192, 44100)
+    B = w._DENSE_MIN_B
+    x = jnp.asarray(rng.standard_normal((B, 8192)).astype(np.float32) * 0.1)
+    states0 = w.init_streams(B)
+
+    @jax.jit
+    def traced_step(x):
+        # cold cache: _dense_device runs for the first time under trace
+        _, y = w.pitchshift_streams(states0, x)
+        return y
+
+    y_traced = np.asarray(traced_step(x))
+    assert not isinstance(w._dense_dev[512], jax.core.Tracer)
+    # the eager call after it must reuse the cache without blowing up
+    _, y_eager = w.pitchshift_streams(states0, x)
+    np.testing.assert_allclose(np.asarray(y_eager), y_traced,
+                               atol=1e-5, rtol=1e-5)
+
+    wta = PQMFPitchShiftWrapperTA(100, 16, 8192, use_pallas=False)
+    xta = jnp.asarray(
+        rng.standard_normal((wta._DENSE_MIN_B, 1, 8192)).astype(np.float32)
+        * 0.1)
+
+    @jax.jit
+    def traced_ta(x):
+        return wta.pitchshifter(x)
+
+    y_ta = np.asarray(traced_ta(xta))
+    assert not isinstance(wta._dense_dev[512], jax.core.Tracer)
+    np.testing.assert_allclose(np.asarray(wta.pitchshifter(xta)), y_ta,
+                               atol=1e-5, rtol=1e-5)

@@ -312,6 +312,30 @@ def test_interpolate_linear_dynamic_matches_static():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_interpolate_linear_dynamic_chunked_matches_onehot():
+    """The whole-file "chunked" lowering (lax.scan of bounded-span
+    one-hot matmuls) computes the same index/weight math as the one-hot
+    and gather forms — including the clamp edges (src_len 1, src_len at
+    the buffer end, last-sample i0==i1)."""
+    rng = np.random.default_rng(11)
+    for T, srcl, size, chunk in [(1000, 777, 512, 128),
+                                 (4096, 4096, 2048, 2048),
+                                 (9216, 9100, 8192, 2048),
+                                 (512, 3, 256, 64),
+                                 (2048, 1, 1024, 256),
+                                 (300, 300, 300, 100)]:
+        x = rng.standard_normal((3, T)).astype(np.float32)
+        want = np.asarray(rs.interpolate_linear_dynamic(
+            jnp.asarray(x), jnp.int32(srcl), size))
+        got = np.asarray(rs.interpolate_linear_dynamic_chunked(
+            jnp.asarray(x), jnp.int32(srcl), size, chunk))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"T={T} srcl={srcl} size={size}")
+    with pytest.raises(ValueError, match="multiple"):
+        rs.interpolate_linear_dynamic_chunked(
+            jnp.zeros((1, 64)), jnp.int32(64), 100, 48)
+
+
 def test_shifters_preserve_leading_shape():
     """[B,1,T] conv-style buffers come back [B,1,T] (r3 review finding:
     the channel axis used to be dropped)."""

@@ -78,22 +78,28 @@ def main():
                     help="commit for the baseline arm (default: round-2)")
     args = ap.parse_args()
 
-    base_tree = f"/tmp/pqmf_{args.base}_tree"
+    # resolve to a short SHA for the worktree path: a --base like
+    # "origin/main" contains a slash, and /tmp/pqmf_origin/... has no
+    # existing parent so `git worktree add` would fail (advisor r4)
+    base_sha = subprocess.run(
+        ["git", "rev-parse", "--short", args.base], cwd=REPO, check=True,
+        capture_output=True, text=True).stdout.strip()
+    base_tree = f"/tmp/pqmf_{base_sha}_tree"
     if not os.path.exists(base_tree):
         subprocess.run(["git", "worktree", "add", "--detach", base_tree,
                         args.base], cwd=REPO, check=True)
 
-    results = {"r2": [], "now": []}
+    results = {"base": [], "now": []}
     for i in range(args.pairs):
         a = run_arm(base_tree)
         b = run_arm(REPO)
-        results["r2"].append(a)
+        results["base"].append(a)
         results["now"].append(b)
         va = a["per_step_ms"] if a["valid"] else float("nan")
         vb = b["per_step_ms"] if b["valid"] else float("nan")
         print(f"pair {i}: base {va:.4f} ms | now {vb:.4f} ms | "
               f"now/base {vb / va:.3f}x")
-    best_r2 = min(r["per_step_ms"] for r in results["r2"] if r["valid"])
+    best_r2 = min(r["per_step_ms"] for r in results["base"] if r["valid"])
     best_now = min(r["per_step_ms"] for r in results["now"] if r["valid"])
     print(f"best-of: base {best_r2:.4f} ms, now {best_now:.4f} ms, "
           f"now/base {best_now / best_r2:.3f}x "

@@ -187,6 +187,45 @@ def main():
         # ms/60s-audio is per 60 s of AGGREGATE audio (÷ streams)
         print(f"{name:34s} {ms:8.3f} {gbs:8.1f} {gfs:9.1f} "
               f"{ms * rt_blocks / streams:12.3f}")
+    # --- whole-file offline step (VERDICT r4 item 4): the path bench.py
+    # records as wholefile_pitchshift (~29.7 s per call, Tb far past the
+    # one-hot crossover). FLOPs model the r5 chunked lowering (scan of
+    # [B, span] @ [span, chunk] one-hot matmuls); the pre-r5 gather form
+    # has ~zero MXU FLOPs at the same bytes — its row exists to show the
+    # within-window cost delta (gather/chunked A/B: tools/ab_wholefile.py)
+    from pqmf_tpu.pipelines import _resample_chunk
+
+    TW = 16 * 81920
+    TbW = TW // M
+    framesW = TbW // hop + 1
+    foW = [max(1, int(np.floor(framesW / r))) for r in w._rates_py]
+    FOW = max(foW)
+    lsW = (FOW - 1) * hop + n_fft
+    chunkW = _resample_chunk(TbW)
+    spanW = min(lsW, -(-chunkW * lsW // TbW) + 3)
+    fl_sel_W = 2 * 2 * M * F * framesW * FOW * 2
+    fl_W = (2 * TbW * M * (-(-Ka // M) * M)           # analysis conv
+            + 2 * M * framesW * n_fft * (2 * F)       # band STFT
+            + fl_sel_W                                # one-hot frame select
+            + 2 * M * FOW * (2 * F) * n_fft           # ISTFT
+            + 2 * M * TbW * spanW                     # chunked resample
+            + 2 * TbW * M * (Ks * M))                 # synthesis conv
+    xW = jnp.asarray(rng.standard_normal((1, 1, TW)).astype(np.float32))
+    stateW = w.init_state()
+    wW = PQMFPitchShiftWrapper(args.atten, M, BLK, SR,
+                               max_buffer_size=None)
+
+    def wf_step(v):
+        _, y = wW.pitchshift_fn(stateW, v.reshape(1, 1, TW))
+        return y.reshape(1, 1, TW)
+
+    ms = chained_ms(wf_step, xW, n=4)
+    gbs = 2 * TW * f32 / (ms * 1e-3) / 1e9
+    gfs = fl_W / (ms * 1e-3) / 1e9
+    per60 = ms * 60.0 / (TW / SR)
+    print(f"{'wholefile pitchshift (chunked)':34s} {ms:8.3f} {gbs:8.1f} "
+          f"{gfs:9.1f} {per60:12.3f}")
+
     peak = max(conv_gfs)
     print(f"(conv-row peak this window: {peak:.0f} GFLOP/s — compare the "
           f"step rows' GFLOP/s against it for the within-window residual)")
