@@ -83,12 +83,12 @@ def bench_jax(x, chain=400, precision="highest", n_band=N_BAND):
     per_call = best / chain
     # the centered cached round trip delays its output by a constant
     # pq.centered_delay samples (streaming.py latency bookkeeping);
-    # align before the SNR like the parity tests' best_aligned_snr does
-    d = pq.centered_delay
-    ya = np.asarray(y)[0, 0][d:]
-    xa = x[: len(x) - d]
-    snr = 10 * np.log10(float(np.sum(xa ** 2))
-                        / float(np.sum((ya - xa) ** 2)))
+    # WHOLE-SIGNAL definition (see utils.metrics: this is the number
+    # comparable to BENCH rounds 1-4 and the reference design's floor)
+    from pqmf_tpu.utils.metrics import aligned_roundtrip_snr_db
+
+    snr = aligned_roundtrip_snr_db(x, np.asarray(y)[0, 0],
+                                   pq.centered_delay)
     return (len(x) / SR) / per_call, snr, jax.devices()[0].platform
 
 
@@ -165,8 +165,10 @@ def bench_pitchshift(n_blocks=1024):
 def bench_wholefile_pitchshift(n_calls=4, T=16 * 81920):
     """Offline whole-file flagship pitchshift (~29.7 s of audio in ONE
     call; Tb = 81920 is far past the one-hot crossover, so this times the
-    r3 linear-memory gather resample path the block benches never touch).
-    Scanned n_calls times with carried crossfade state, one dispatch."""
+    whole-file resample lowering the block benches never touch — r5: the
+    chunked scan-of-matmuls form, 2.15x over the r3/r4 minor-dim gather
+    in the same window). Scanned n_calls times with carried crossfade
+    state, one dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -194,9 +196,14 @@ def bench_stream_ola(T=16 * 40960):
     """Whole-file in-graph OLA harness (`pipelines.stream_ola`, the
     SURVEY §5 long-context north star): the reference 2-TestBlocks
     harness — Hann-windowed 4096/2048 overlapping blocks, scanned
-    stateful pitchshift + roundtrip, windowed OLA ÷ Σwin² — as ONE
-    dispatch over ~14.9 s of audio. Self-calibrated by differencing a
-    T- and a 2T-sample call (same program, scan length doubles)."""
+    stateful pitchshift + roundtrip, windowed OLA ÷ Σwin² — ~14.9 s of
+    audio per call. stream_ola caches its compiled program per geometry
+    (r5: the r4 bench called an un-jitted eager body that re-traced and
+    multi-dispatched every call — the recorded 24.2x was the tunnel, not
+    the chip), so repeated calls here are one dispatch each plus a
+    constant few eager sum/slice ops that the T-vs-2T differencing
+    cancels. At T the scan covers ~319 blocks (>= 256, enough for the
+    window to resolve; r4 ran n_calls=1 over the whole overhead)."""
     import jax.numpy as jnp
 
     from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
@@ -209,7 +216,7 @@ def bench_stream_ola(T=16 * 40960):
 
     def run(x):
         pitch, recon = stream_ola(w, x, block=4096, overlap=2048)
-        return float(pitch.sum()) + float(recon.sum())
+        return float((pitch.sum() + recon.sum()))  # ONE blocking pull
 
     return _scan_rtf(lambda: run(x1), lambda: run(x2), 1, T)
 
@@ -362,19 +369,20 @@ def main():
         from pqmf_tpu.parallel.training import load_pretrained_bank
         from pqmf_tpu.streaming import StreamingPQMF, kernels_from_params
 
+        from pqmf_tpu.utils.metrics import aligned_roundtrip_snr_db
+
         p_ft = load_pretrained_bank()
         sp_ft = StreamingPQMF(ATTEN, N_BAND)
         sp_ft.set_weights(p_ft, *kernels_from_params(p_ft))
         y_ft = np.asarray(sp_ft.roundtrip(jnp.asarray(x)[None, None, :]))
-        d = sp_ft.centered_delay
-        ya, xa = y_ft[0, 0][d:], x[: len(x) - d]
-        # steady-state, matching streaming_roundtrip_snr's r4 definition:
-        # one bank length trimmed per edge (the edge transient is an
-        # artifact of the signal boundary, not the bank)
-        t = int(sp_ft.params["hk"].shape[-1])
-        ya, xa = ya[t:-t], xa[t:-t]
-        snr_ft = 10 * np.log10(float(np.sum(xa ** 2))
-                               / float(np.sum((ya - xa) ** 2)))
+        # STEADY-STATE definition (one bank length trimmed per edge; the
+        # fine-tuned-bank pins' definition — see utils.metrics). BENCH
+        # r3 recorded this key under the whole-signal definition (67.8);
+        # r4+ record steady-state (104+). snr_definitions in the JSON
+        # names the definition so cross-round reads can't conflate them.
+        snr_ft = aligned_roundtrip_snr_db(
+            x, y_ft[0, 0], sp_ft.centered_delay,
+            edge_trim=int(sp_ft.params["hk"].shape[-1]))
     except Exception:
         snr_ft = None
     try:
@@ -405,8 +413,9 @@ def main():
                      # end), fewer blocks to bound bench wall time
                      ("serving_64stream_aggregate", lambda:
                       bench_streams(n_streams=64, n_blocks=128)),
-                     # offline whole-file calls (the linear-memory gather
-                     # resample path, new in r3)
+                     # offline whole-file calls (r5: the chunked
+                     # scan-of-matmuls resample — 2.15x over the r3/r4
+                     # gather form, tools/ab_wholefile.py)
                      ("wholefile_pitchshift", bench_wholefile_pitchshift),
                      # the in-graph OLA harness (one dispatch per FILE:
                      # pitchshift + roundtrip + window math per block)
@@ -450,6 +459,16 @@ def main():
             "m4_roundtrip_snr_db": (round(snr_m4, 2)
                                     if snr_m4 else None),
             "torch_cpu_rtf": round(rtf_ref, 1) if rtf_ref else None,
+            # which round-trip SNR definition each key reports (single
+            # source: pqmf_tpu/utils/metrics.py) — the *_snr_db keys are
+            # NOT mutually comparable without this
+            "snr_definitions": {
+                "roundtrip_snr_db": "whole_signal_aligned",
+                "roundtrip_bf16x3_snr_db": "whole_signal_aligned",
+                "m4_roundtrip_snr_db": "whole_signal_aligned",
+                "finetuned_bank_snr_db":
+                    "steady_state_edge_trim_one_bank_len",
+            },
             "dispatch_floor_ms": round(floor_ms, 2),
             "block_latency_ms": block_latency,
             **results,
