@@ -26,3 +26,24 @@ jax.config.update("jax_enable_x64", False)
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA:CPU programs in one
+    process; past a certain accumulated JIT-code volume the XLA CPU
+    backend segfaults inside ``backend_compile_and_load`` on an
+    otherwise-fine program (reproduced deterministically at the same
+    test on two full-suite runs, while the identical test passes in
+    isolation and in any half-suite subset). Executables are never
+    shared across modules here (each file builds its own wrappers), so
+    clearing per module only costs recompiles of the handful of shared
+    design-chain programs and keeps the live-code volume far from the
+    crash edge."""
+    yield
+    jax.clear_caches()

@@ -52,6 +52,7 @@ def test_blocks_cli_artifact_path(short_wav, tmp_path, capsys):
     assert "loaded artifact" in out and "RMS full_pitch:" in out
 
 
+@pytest.mark.slow  # full TA export CLI (~50 s); blocks/vocoder CLIs stay fast
 def test_ps_torchaudio_cli(short_wav, tmp_path, capsys):
     from pqmf_tpu.cli import ps_torchaudio
 

@@ -124,6 +124,7 @@ def test_stablehlo_failure_is_loud_and_writes_nothing(tmp_path):
     assert not os.path.exists(str(tmp_path / "bad"))
 
 
+@pytest.mark.slow  # serializes + reloads every wrapper kind (~55 s)
 def test_stablehlo_all_wrapper_kinds_roundtrip(tmp_path):
     """Every wrapper kind ships an AOT method (the TorchScript-archive
     analog): process (plain), pitchshifter (TA), pitchshift (flagship,

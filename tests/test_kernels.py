@@ -143,7 +143,16 @@ def test_ungrouped_fallback_m128_matches_lax():
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
+# slow-lane split (measured, not guessed): these tests are COMPILE-bound
+# — every (n_band, precision, pads) combination builds fresh Mosaic
+# programs — and the non-default band counts are the bulk of the suite's
+# wall time. The default serving config (M=16) plus the small-M corners
+# adjacent to it stay in the fast lane; the full matrix runs in the full
+# lane (-m "").
+@pytest.mark.parametrize("n_band", [
+    pytest.param(2, marks=pytest.mark.slow), 4, 8, 16,
+    pytest.param(32, marks=pytest.mark.slow),
+    pytest.param(64, marks=pytest.mark.slow)])
 def test_fused_roundtrip_matches_composition(n_band):
     """The grouped pass-through round trip (kernels.cached_conv.
     fused_roundtrip_conv — no re-interleave transposes, reverse_half
@@ -168,7 +177,12 @@ def test_fused_roundtrip_matches_composition(n_band):
             np.asarray(sp.inverse(sp.forward(x))))
 
 
-@pytest.mark.parametrize("n_band", [8, 16, 32, 64])
+@pytest.mark.parametrize("n_band", [
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow), 16,
+    pytest.param(32, marks=pytest.mark.slow),
+    pytest.param(64, marks=pytest.mark.slow)])
 def test_single_call_roundtrip_matches_two_call(n_band):
     """calls="single" (one pallas_call, VMEM-ring intermediate) is
     bit-identical to calls="two": same dot operands in the same order;
@@ -231,6 +245,7 @@ def test_single_call_roundtrip_tail_tiles_past_analysis():
     np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
 
 
+@pytest.mark.slow  # ~50 s of fresh Mosaic compiles; full lane only
 def test_single_call_roundtrip_pad_geometry_fuzz():
     """Property: calls="single" == calls="two" bit-exactly for RANDOM
     (left, right) synthesis pads — the single-call kernel re-derives the

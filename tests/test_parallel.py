@@ -84,6 +84,7 @@ def test_sharded_pallas_kernels_match_lax_and_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow  # two full TA compiles on the 8-device mesh (~48 s)
 def test_ta_wrapper_band_sharded_matches_single_device():
     """The fused TA pipeline composes with the (data, band) mesh too: its
     filterbank kernels band-shard via the wrapper's mesh kwarg and the
