@@ -23,6 +23,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# the suite is COMPILE-bound (hundreds of distinct XLA:CPU programs);
+# the persistent compilation cache makes warm re-runs several times
+# faster and is semantically inert (identical executables for identical
+# programs — the suite's bit-identity assertions are unaffected).
+# Opt out with JAX_TEST_NO_COMPILATION_CACHE=1 to time cold compiles.
+if not os.environ.get("JAX_TEST_NO_COMPILATION_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jaxcomp-tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
