@@ -25,7 +25,6 @@ real-time hosts.
 from __future__ import annotations
 
 import math
-import weakref
 from functools import partial
 
 import jax
@@ -133,6 +132,27 @@ def _resample_chunk(Tb: int) -> int:
     c = Tb & -Tb  # largest power-of-two divisor
     c = min(c, 2048)
     return c if c >= 128 else 0
+
+
+def _dense_device_cached(cache: dict, Tb: int, A):
+    """Per-Tb device copy of a prefolded dense plan constant (shared by
+    the flagship and TA wrappers — both keep a ``self._dense_dev`` dict).
+    The plans cache numpy (trace-safety, see _plan), but an EAGER batched
+    step passes the constant as a traced jit argument — without this
+    cache every call re-uploads the ~52-56 MB constant host-to-device
+    through the ~25 ms tunnel (advisor r4). device_put under an ACTIVE
+    trace returns a DynamicJaxprTracer, which a cache would leak
+    (UnexpectedTracerError on reuse — same hazard class as the _plan
+    numpy rule); ensure_compile_time_eval forces a concrete committed
+    array in every context, so the cached value is always safe and under
+    an outer jit/scan it bakes in as a compile-time constant exactly like
+    the numpy form."""
+    dev = cache.get(Tb)
+    if dev is None:
+        with jax.ensure_compile_time_eval():
+            dev = jax.device_put(np.asarray(A))
+        cache[Tb] = dev
+    return dev
 
 
 # ---------------------------------------------------------------------------
@@ -594,7 +614,21 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         337 dB — tools/ab_wholefile.py), with the gather kept for Tb
         with no usable chunk divisor."""
         if self.resample_override is not None:
-            return self.resample_override
+            kind = self.resample_override
+            if kind not in ("dense", "onehot", "chunked", "gather"):
+                raise ValueError(f"unknown resample_override {kind!r}")
+            # the knob's contract is "moves time, never audio" — fail
+            # loudly when the pinned lowering cannot exist at this
+            # geometry instead of crashing inside the trace
+            if kind == "dense" and A is None:
+                raise ValueError(
+                    f"resample_override='dense': the Tb={Tb} plan built no "
+                    f"dense constant (byte gate {_DENSE_A_MAX_BYTES>>20} MB)")
+            if kind == "chunked" and not _resample_chunk(Tb):
+                raise ValueError(
+                    f"resample_override='chunked': Tb={Tb} has no "
+                    "power-of-two divisor >= 128 to chunk by")
+            return kind
         if A is not None and B >= self._DENSE_MIN_B:
             return "dense"
         if Tb <= self._ONEHOT_MAX_TB:
@@ -602,23 +636,7 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         return "chunked" if _resample_chunk(Tb) else "gather"
 
     def _dense_device(self, Tb: int, A):
-        """Per-Tb device copy of the prefolded dense plan constant. The
-        plan caches numpy (trace-safety, see _plan), but an EAGER batched
-        step passes A as a traced jit argument — without this cache every
-        call re-uploads the ~56 MB constant host-to-device through the
-        ~25 ms tunnel (advisor r4). device_put under an ACTIVE trace
-        returns a DynamicJaxprTracer, which a cache would leak
-        (UnexpectedTracerError on reuse — same hazard class as the _plan
-        numpy rule); ensure_compile_time_eval forces a concrete committed
-        array in every context, so the cached value is always safe and
-        under an outer jit/scan it bakes in as a compile-time constant
-        exactly like the numpy form."""
-        dev = self._dense_dev.get(Tb)
-        if dev is None:
-            with jax.ensure_compile_time_eval():
-                dev = jax.device_put(np.asarray(A))
-            self._dense_dev[Tb] = dev
-        return dev
+        return _dense_device_cached(self._dense_dev, Tb, A)
 
     def pitchshift_fn(self, state, x):
         """(state, x [1,T] | [B,1,T]) -> (state', y [B, T])."""
@@ -698,13 +716,17 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
     __call__ = forward
 
 
-# per-wrapper cache of compiled stream_ola programs, keyed by the static
-# harness geometry. The step closures below are rebuilt per program; a
-# bare @jax.jit on the harness body would MISS jit's trace cache on every
-# call (fresh closure identity) and re-trace + multi-dispatch through the
-# ~25 ms tunnel each time — exactly the r4 bench defect (VERDICT weak #1).
-# Weak keys: a dropped wrapper must not pin its compiled programs alive.
-_STREAM_OLA_JITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# stream_ola's compiled programs are cached ON the wrapper instance
+# (wrapper._stream_ola_fns), keyed by the static harness geometry. The
+# step closures below are rebuilt per program; a bare @jax.jit on the
+# harness body would MISS jit's trace cache on every call (fresh closure
+# identity) and re-trace + multi-dispatch through the ~25 ms tunnel each
+# time — exactly the r4 bench defect (VERDICT weak #1). Keeping the
+# cache on the instance (not a module global) means a dropped wrapper
+# releases its compiled programs: the wrapper -> dict -> run -> step ->
+# wrapper cycle is ordinary gc-collectable garbage. (A module-level
+# WeakKeyDictionary does NOT work here — its values reference the key
+# through the step closure, so the weakref could never fire.)
 
 
 def _stream_ola_program(wrapper, block: int, hop: int, n_frames: int,
@@ -770,14 +792,19 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     n_frames = 1 if T <= block else -(-(T - block) // hop) + 1
     total = (n_frames - 1) * hop + block
 
-    fns = _STREAM_OLA_JITS.setdefault(wrapper, {})
+    fns = wrapper.__dict__.setdefault("_stream_ola_fns", {})
     # weights_version: the compiled program bakes the filterbank weights
     # at trace time; a set_weights (artifact restore / fine-tuned bank)
     # must invalidate it rather than silently serve the old audio
-    key = (block, hop, n_frames, C,
-           getattr(wrapper.pqmf, "weights_version", 0))
+    ver = getattr(wrapper.pqmf, "weights_version", 0)
+    key = (block, hop, n_frames, C, ver)
     run = fns.get(key)
     if run is None:
+        # weights_version only advances, so programs traced under older
+        # versions can never be hit again — evict them instead of
+        # accumulating one dead program set per set_weights call
+        for stale in [k for k in fns if k[4] != ver]:
+            del fns[stale]
         run = _stream_ola_program(wrapper, block, hop, n_frames, C)
         fns[key] = run
 
@@ -1103,15 +1130,7 @@ class PQMFPitchShiftWrapperTA(_RegistryMixin):
         plan = self._ta_plan(Tb)
         kind = self._resample_kind(Tb, plan, x.shape[0])
         if kind == "dense":
-            # cached per-Tb device copy: an eager batched call would
-            # otherwise re-upload the ~52 MB plan constant through the
-            # tunnel every step (advisor r4; see the flagship's
-            # _dense_device for the trace-safety argument)
-            W = self._dense_dev.get(Tb)
-            if W is None:
-                with jax.ensure_compile_time_eval():
-                    W = jax.device_put(np.asarray(plan[9]))
-                self._dense_dev[Tb] = W
+            W = _dense_device_cached(self._dense_dev, Tb, plan[9])
         else:
             W = plan[4]
         return self._pitchshifter_jit(x, self.pqmf.hkf, self.pqmf.hki,

@@ -224,3 +224,34 @@ def test_crossfade_rejects_blocks_shorter_than_overlap():
     w2 = PQMFPitchShiftWrapper(100, 16, 1024)
     state, y = w2.pitchshift_fn(w2.init_state(), x)
     assert np.asarray(y).shape == (1, 1024)
+
+
+def test_resample_override_unavailable_raises_clearly():
+    """resample_override pins a lowering "regardless of the crossover
+    logic", so a pin the geometry cannot honor must raise a clear
+    ValueError at dispatch instead of crashing inside the trace
+    (r5 review: 'chunked' with no pow-2 divisor hit a ZeroDivisionError,
+    'dense' with no built constant hit np.asarray(None))."""
+    import pytest
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(70, 4, 512, shifts_in_semitones=[1, -1, 2, -2])
+    Tb = 512
+    _, _, A = w._plan(Tb)
+
+    w.resample_override = "bogus"
+    with pytest.raises(ValueError, match="unknown resample_override"):
+        w._resample_kind(Tb, A, 1)
+    # Tb=512: largest pow-2 divisor 512 >= 128, so force the failure
+    # with an odd whole-file length (divisor 1)
+    w.resample_override = "chunked"
+    with pytest.raises(ValueError, match="no\\s+power-of-two divisor"):
+        w._resample_kind(81921, None, 1)
+    w.resample_override = "dense"
+    with pytest.raises(ValueError, match="no\\s+dense constant"):
+        w._resample_kind(81921, None, 1)
+    # a satisfiable pin still routes
+    w.resample_override = "onehot"
+    assert w._resample_kind(Tb, A, 16) == "onehot"
+    w.resample_override = None

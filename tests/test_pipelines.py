@@ -475,8 +475,7 @@ def test_stream_ola_program_is_cached_no_retrace():
     false and the bench measured the tunnel). Pins: one cached program
     per geometry, exactly one jit trace total across repeat calls, and a
     set_weights invalidates the cache instead of serving stale audio."""
-    from pqmf_tpu.pipelines import (_STREAM_OLA_JITS, PQMFPitchShiftWrapper,
-                                    stream_ola)
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
     from pqmf_tpu.streaming import kernels_from_params
 
     rng = np.random.default_rng(5)
@@ -485,7 +484,7 @@ def test_stream_ola_program_is_cached_no_retrace():
     x = rng.standard_normal((1, 2000)).astype(np.float32) * 0.1
 
     p1, r1 = stream_ola(w, x, 512)
-    fns = _STREAM_OLA_JITS[w]
+    fns = w._stream_ola_fns
     assert len(fns) == 1
     (run,) = fns.values()
     assert run._cache_size() == 1
@@ -504,14 +503,40 @@ def test_stream_ola_program_is_cached_no_retrace():
     pq = w.pqmf
     scaled = {k: np.asarray(v) * (0.5 if k == "hk" else 1.0)
               for k, v in pq.params.items()}
-    params = {k: scaled[k] for k in ("h", "hk", "hk_poly", "hk_ipoly")}
     import pqmf_tpu.ops.filterbank as fb
 
     params = fb.params_from_hk(scaled["hk"], h=scaled["h"])
     pq.set_weights(params, *kernels_from_params(params))
     p3, _ = stream_ola(w, x, 512)
-    assert len(fns) == 3  # new program under the new weights_version
+    # new program under the new weights_version; the two programs traced
+    # under the OLD version are evicted (stale versions can never be hit
+    # again), so repeated set_weights does not accumulate dead programs
+    assert len(fns) == 1
+    assert all(k[4] != 0 for k in fns)
     assert not np.allclose(np.asarray(p3), np.asarray(p1))
+
+
+def test_stream_ola_cache_does_not_pin_the_wrapper():
+    """The compiled-program cache lives ON the wrapper (the program
+    closures reference the wrapper, so any module-global cache — even a
+    WeakKeyDictionary, whose values would reach the key through the step
+    closure — pins every wrapper plus its ~MB-scale compiled programs
+    for process lifetime). Pins: a dropped wrapper is ordinary
+    collectable garbage after using stream_ola."""
+    import gc
+    import weakref
+
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
+
+    rng = np.random.default_rng(6)
+    w = PQMFPitchShiftWrapper(70, 4, 256, shifts_in_semitones=[1, -1, 2, -2])
+    x = rng.standard_normal((1, 1000)).astype(np.float32) * 0.1
+    stream_ola(w, x, 256)
+    assert len(w._stream_ola_fns) == 1
+    ref = weakref.ref(w)
+    del w
+    gc.collect()
+    assert ref() is None
 
 
 def test_long_stream_state_stays_bounded():

@@ -273,8 +273,6 @@ def main():
     # (single source: utils.metrics; 54.81 dB = the reference design's
     # own ripple floor incl. edge transients. The steady-state companion
     # definition is what the fine-tuned-bank checks above report.)
-    from pqmf_tpu.utils.metrics import aligned_roundtrip_snr_db
-
     wav, _ = read_wav("/root/reference/audio/flute.wav")
     wav = wav[:1, : (wav.shape[-1] // 8192) * 8192]
     pq = PQMF(100, 16)
