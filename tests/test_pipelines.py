@@ -774,6 +774,44 @@ def test_ta_dense_resample_matches_onehot_and_plan():
     assert snr > 120, f"dense-vs-onehot resample parity {snr:.1f} dB"
 
 
+def test_ta_wrapper_routes_dense_at_batch_and_caches_device_constant():
+    """An eager wrapper-level pitchshifter call at B >= _DENSE_MIN_B must
+    take the dense lowering THROUGH the wrapper (including the per-Tb
+    device copy of the prefolded constant — advisor r4: without the
+    cache every eager batched call re-uploads ~52 MB through the
+    tunnel), produce audio matching the one-hot form to float32
+    round-off, and reuse the same committed device array on the next
+    call."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapperTA
+
+    w = PQMFPitchShiftWrapperTA(100, 8, 2048, 44100,
+                                [0, -3, 5, 12, -7, 2, 1, -1])
+    Tb = 2048 // 8
+    rng = np.random.default_rng(11)
+    x2 = rng.standard_normal((2, 1, 2048)).astype(np.float32) * 0.3
+    x4 = np.concatenate([x2, x2], 0)  # B=4 == _DENSE_MIN_B -> dense
+
+    assert w.pitchshifter(x2) is not None  # B=2 -> one-hot
+    assert Tb not in w._dense_dev
+    y4 = np.asarray(w.pitchshifter(x4))
+    dev = w._dense_dev.get(Tb)
+    assert dev is not None  # the wrapper populated the device cache
+    # identical streams through one batched call must be bit-identical
+    np.testing.assert_array_equal(y4[:2], y4[2:])
+    # the SAME batch through the one-hot lowering (instance gate pushed
+    # above B — comparing across different B would also pick up XLA's
+    # batch-dependent reduction tiling, not just the lowering)
+    w._DENSE_MIN_B = 99
+    y4_onehot = np.asarray(w.pitchshifter(x4))
+    w._DENSE_MIN_B = type(w)._DENSE_MIN_B
+    err = ((y4 - y4_onehot) ** 2).sum()
+    snr = 10 * np.log10(max((y4_onehot ** 2).sum(), 1e-30)
+                        / max(err, 1e-30))
+    assert snr > 120, f"wrapper dense-vs-onehot parity {snr:.1f} dB"
+    w.pitchshifter(x4)
+    assert w._dense_dev.get(Tb) is dev  # second call reuses, not re-puts
+
+
 def test_flagship_dense_interp_matches_onehot():
     """The flagship's prefolded stretch-back lerp (resample_kind='dense',
     batch-gated serving form) must match the in-graph one-hot lerp to
