@@ -200,9 +200,10 @@ def bench_stream_ola(T=16 * 40960):
     audio per call. stream_ola caches its compiled program per geometry
     (r5: the r4 bench called an un-jitted eager body that re-traced and
     multi-dispatched every call — the recorded 24.2x was the tunnel, not
-    the chip), so repeated calls here are one dispatch each plus a
-    constant few eager sum/slice ops that the T-vs-2T differencing
-    cancels. At T the scan covers ~319 blocks (>= 256, enough for the
+    the chip), so repeated calls here are ONE dispatch each (pad and
+    trim live inside the program since r5 review) plus the one eager sum
+    below that the T-vs-2T differencing cancels. At T the scan covers
+    ~319 blocks (>= 256, enough for the
     window to resolve; r4 ran n_calls=1 over the whole overhead)."""
     import jax.numpy as jnp
 

@@ -178,7 +178,11 @@ def export_stablehlo(wrapper, length: int) -> bytes:
         # artifacts always serialize the lean banded plan, never the
         # ~52 MB prefolded dense constant.
         kind = wrapper._resample_kind(Tb, plan, 1)
-        assert kind != "dense", "B=1 export cannot take the dense lowering"
+        if kind == "dense":  # real ValueError: python -O strips asserts
+            raise ValueError(
+                "B=1 export cannot take the dense lowering (it would "
+                "serialize the prefolded ~52 MB constant); lower "
+                "_DENSE_MIN_B only for live batched serving")
         consts = tuple(jnp.asarray(a)
                        for a in (*plan[:4], plan[4], plan[5]))
 

@@ -143,7 +143,13 @@ def interpolate_linear_dynamic_chunked(x: jax.Array, src_len: jax.Array,
         raise ValueError(f"size {size} must be a multiple of chunk {chunk}")
     n_chunks = size // chunk
     # static span bound: src advances by scale = src_len/size <= T/size
-    # per output sample, so a chunk's i1 range fits in chunk*T/size + 3
+    # per output sample, so a chunk's i1 range fits in chunk*T/size + 3.
+    # The bound REQUIRES src_len <= T (the callers' contract: the stretch
+    # length never exceeds its buffer); clamp so an out-of-contract
+    # src_len degrades to resampling the whole buffer instead of silently
+    # zeroing taps whose local indices would fall outside the span (the
+    # sibling forms clamp per-tap indices and tolerate such inputs)
+    src_len = jnp.minimum(src_len, T)
     span = min(T, -(-chunk * T // size) + 3)
     slf = src_len.astype(jnp.float32)
     scale = slf / size

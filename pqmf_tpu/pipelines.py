@@ -112,6 +112,15 @@ def derive_stft_geometry(m_buffer_size: int, n_band: int):
 # together (r3 review: two independent copies could silently diverge)
 _ONEHOT_MAX_TB_DEFAULT = 2048
 
+# resample_override="onehot" feasibility bar: the in-graph one-hot build
+# materializes an O(Tb * stretch_len) f32 weight matrix per band; past
+# ~1 GB of transient the trace dies in an opaque XLA allocation failure
+# (a whole-file Tb=81920 would be ~64 GB), so the override path fails
+# loudly at kind-selection time instead — same fail-loudly contract as
+# its dense/chunked guards. The AUTO path never gets here (the
+# _ONEHOT_MAX_TB crossover sits orders of magnitude lower).
+_ONEHOT_OVERRIDE_MAX_BYTES = 1 << 30
+
 # resident-bytes cap for the prefolded dense resample constants (r4):
 # both pipelines' stretch resamples have STATIC numpy plans, so the
 # whole resample prefolds into one constant matmul per band
@@ -603,7 +612,8 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
     # only moves time, never audio. Used by tools/ab_wholefile.py.
     resample_override: str | None = None
 
-    def _resample_kind(self, Tb: int, A, B: int) -> str:
+    def _resample_kind(self, Tb: int, A, B: int,
+                       total: int | None = None) -> str:
         """Pick the stretch-resample lowering: the prefolded dense matmul
         when the plan built it AND the batch amortizes its constant read
         (see _DENSE_MIN_B; r4 device trace: the in-graph one-hot build
@@ -612,7 +622,9 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         form for whole-file lengths (r5 same-window A/B at Tb=81920:
         gather/chunked = 2.15x, 28.8 -> 13.4 ms per 29.7 s call, parity
         337 dB — tools/ab_wholefile.py), with the gather kept for Tb
-        with no usable chunk divisor."""
+        with no usable chunk divisor. ``total`` (the stretch buffer
+        length, when the caller knows it) feeds the override='onehot'
+        feasibility check."""
         if self.resample_override is not None:
             kind = self.resample_override
             if kind not in ("dense", "onehot", "chunked", "gather"):
@@ -628,6 +640,13 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
                 raise ValueError(
                     f"resample_override='chunked': Tb={Tb} has no "
                     "power-of-two divisor >= 128 to chunk by")
+            if (kind == "onehot" and total is not None
+                    and Tb * total * 4 > _ONEHOT_OVERRIDE_MAX_BYTES):
+                raise ValueError(
+                    f"resample_override='onehot': the per-band weight "
+                    f"matrix would be {Tb * total * 4 >> 20} MB at Tb={Tb} "
+                    f"(cap {_ONEHOT_OVERRIDE_MAX_BYTES >> 20} MB) — use "
+                    "'chunked' or 'gather' at whole-file lengths")
             return kind
         if A is not None and B >= self._DENSE_MIN_B:
             return "dense"
@@ -643,7 +662,8 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         sub = self.decompose(x)  # [B, M, Tb]
         B, _, Tb = sub.shape
         frames_out, FO_max, A = self._plan(Tb)
-        kind = self._resample_kind(Tb, A, B)
+        kind = self._resample_kind(
+            Tb, A, B, total=self.n_fft + (FO_max - 1) * self.hop)
         A = self._dense_device(Tb, A) if kind == "dense" else None
         shifted, new_tail = _fused_band_pitchshift(
             sub, self._rates, frames_out, state["prev_tail"],
@@ -689,7 +709,8 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
         Tb = sub.shape[-1]
         frames_out, FO_max, A = self._plan(Tb)
         tails = jnp.swapaxes(states["prev_tail"], 0, 1)  # [M, S, L]
-        kind = self._resample_kind(Tb, A, sub.shape[0])
+        kind = self._resample_kind(
+            Tb, A, sub.shape[0], total=self.n_fft + (FO_max - 1) * self.hop)
         A = self._dense_device(Tb, A) if kind == "dense" else None
         shifted, new_tails = _fused_band_pitchshift(
             sub, self._rates, frames_out, tails,
@@ -730,10 +751,14 @@ class PQMFPitchShiftWrapper(_RegistryMixin):
 
 
 def _stream_ola_program(wrapper, block: int, hop: int, n_frames: int,
-                        C: int):
+                        C: int, T: int):
     """Build + jit the whole-file OLA harness for one static geometry:
-    frame -> Hann window -> lax.scan of (stateful pitchshift, round trip)
-    -> windowed overlap-add / Σwin². One XLA program, one dispatch."""
+    right-pad to the frame grid -> frame -> Hann window -> lax.scan of
+    (stateful pitchshift, round trip) -> windowed overlap-add / Σwin² ->
+    trim back to T. One XLA program, one dispatch — the pad and trim
+    live INSIDE the jit (T is static per cached program), so a repeated
+    call issues no eager device ops at all (r5 review: the pad + two
+    slices outside were ~3 extra ~25 ms tunnel dispatches per call)."""
 
     if C == 1:
         state0 = wrapper.init_state()
@@ -750,8 +775,11 @@ def _stream_ola_program(wrapper, block: int, hop: int, n_frames: int,
             rec = wrapper.forward_fn(blk[:, None, :])
             return states, (out, rec)
 
+    total = (n_frames - 1) * hop + block
+
     @jax.jit
-    def run(xp):
+    def run(x):
+        xp = jnp.pad(x, ((0, 0), (0, total - T)))
         window = S.hann_window(block, xp.dtype)
         framed = S._frame_signal(xp, block, hop, n_frames)  # [C, N, block]
         blocks = jnp.swapaxes(framed * window, 0, 1)        # [N, C, block]
@@ -760,7 +788,7 @@ def _stream_ola_program(wrapper, block: int, hop: int, n_frames: int,
         norm = S._ola(wsq, block, hop) + 1e-8  # harness's exact epsilon
         pitch = S._ola(jnp.swapaxes(outs * window, 0, 1), block, hop) / norm
         recon = S._ola(jnp.swapaxes(recs * window, 0, 1), block, hop) / norm
-        return pitch, recon
+        return pitch[:, :T], recon[:, :T]
 
     return run
 
@@ -770,10 +798,11 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     as ONE jitted XLA program: Hann-windowed overlapping blocks ->
     ``lax.scan`` of the stateful pitchshift step (carried crossfade state)
     and of the plain round trip -> windowed overlap-add normalized by the
-    accumulated window energy. The compiled program is cached per
-    (wrapper, block, hop, n_frames, channels), so repeated calls are ONE
-    dispatch each with zero re-tracing — the SURVEY §5 long-context north
-    star. Returns device arrays (no host syncs inside).
+    accumulated window energy. The compiled program (pad and trim
+    included) is cached per (wrapper, block, hop, T, channels), so
+    repeated calls are ONE dispatch each with zero re-tracing and zero
+    eager device ops — the SURVEY §5 long-context north star. Returns
+    device arrays (no host syncs inside).
 
     x: [C, T] (or [T]); returns (pitch_stream [C, T], recon_stream
     [C, T]). With C > 1 (e.g. a stereo fixture) each channel rides its
@@ -790,14 +819,15 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     if hop <= 0 or hop > block:
         raise ValueError("overlap must be in [0, block-1]")
     n_frames = 1 if T <= block else -(-(T - block) // hop) + 1
-    total = (n_frames - 1) * hop + block
 
     fns = wrapper.__dict__.setdefault("_stream_ola_fns", {})
     # weights_version: the compiled program bakes the filterbank weights
     # at trace time; a set_weights (artifact restore / fine-tuned bank)
     # must invalidate it rather than silently serve the old audio
     ver = getattr(wrapper.pqmf, "weights_version", 0)
-    key = (block, hop, n_frames, C, ver)
+    # keyed by T (not n_frames): the pad/trim live inside the program,
+    # so the input length is part of the compiled shape
+    key = (block, hop, T, C, ver)
     run = fns.get(key)
     if run is None:
         # weights_version only advances, so programs traced under older
@@ -805,12 +835,10 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
         # accumulating one dead program set per set_weights call
         for stale in [k for k in fns if k[4] != ver]:
             del fns[stale]
-        run = _stream_ola_program(wrapper, block, hop, n_frames, C)
+        run = _stream_ola_program(wrapper, block, hop, n_frames, C, T)
         fns[key] = run
 
-    xp = jnp.pad(x, ((0, 0), (0, total - T)))
-    pitch, recon = run(xp)
-    return pitch[:, :T], recon[:, :T]
+    return run(x)
 
 
 # ---------------------------------------------------------------------------

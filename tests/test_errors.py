@@ -251,7 +251,12 @@ def test_resample_override_unavailable_raises_clearly():
     w.resample_override = "dense"
     with pytest.raises(ValueError, match="no\\s+dense constant"):
         w._resample_kind(81921, None, 1)
-    # a satisfiable pin still routes
+    # 'onehot' at a whole-file geometry would trace an O(Tb * stretch)
+    # multi-GB weight matrix per band — the byte guard must fire first
     w.resample_override = "onehot"
+    with pytest.raises(ValueError, match="per-band weight"):
+        w._resample_kind(81920, None, 1, total=3 * 81920)
+    # a satisfiable pin still routes (with or without the total hint)
     assert w._resample_kind(Tb, A, 16) == "onehot"
+    assert w._resample_kind(Tb, A, 16, total=4 * Tb) == "onehot"
     w.resample_override = None

@@ -336,6 +336,21 @@ def test_interpolate_linear_dynamic_chunked_matches_onehot():
             jnp.zeros((1, 64)), jnp.int32(64), 100, 48)
 
 
+def test_interpolate_linear_dynamic_chunked_clamps_oversized_src_len():
+    """Out-of-contract src_len > T (the chunked span bound assumes
+    src_len <= T) degrades to src_len == T — full-buffer resample — not
+    silently-zeroed taps (r5 review: local indices past the static span
+    matched no one-hot row and dropped contributions without error)."""
+    rng = np.random.default_rng(12)
+    T, size, chunk = 1000, 512, 128
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    got = np.asarray(rs.interpolate_linear_dynamic_chunked(
+        jnp.asarray(x), jnp.int32(3 * T), size, chunk))
+    want = np.asarray(rs.interpolate_linear_dynamic_chunked(
+        jnp.asarray(x), jnp.int32(T), size, chunk))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_shifters_preserve_leading_shape():
     """[B,1,T] conv-style buffers come back [B,1,T] (r3 review finding:
     the channel axis used to be dropped)."""

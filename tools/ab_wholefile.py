@@ -54,9 +54,8 @@ def main():
         _, y = w.pitchshift_fn(state0, x)
         outs[kind] = np.asarray(y)
     w.resample_override = None
-    err = float(((outs["gather"] - outs["chunked"]) ** 2).sum())
-    ref = float((outs["gather"] ** 2).sum())
-    snr = 10 * np.log10(max(ref, 1e-30) / max(err, 1e-30))
+    from pqmf_tpu.utils.metrics import snr_db  # the ONE definition site
+    snr = snr_db(outs["gather"], outs["chunked"])
     print(f"gather-vs-chunked whole-file parity: {snr:.1f} dB "
           f"(expect > 120: identical index/weight math)")
 

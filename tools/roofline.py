@@ -211,9 +211,9 @@ def main():
             + 2 * M * TbW * spanW                     # chunked resample
             + 2 * TbW * M * (Ks * M))                 # synthesis conv
     xW = jnp.asarray(rng.standard_normal((1, 1, TW)).astype(np.float32))
-    stateW = w.init_state()
     wW = PQMFPitchShiftWrapper(args.atten, M, BLK, SR,
                                max_buffer_size=None)
+    stateW = wW.init_state()  # the whole-file wrapper's own geometry
 
     def wf_step(v):
         _, y = wW.pitchshift_fn(stateW, v.reshape(1, 1, TW))
