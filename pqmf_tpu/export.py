@@ -161,6 +161,23 @@ def export_stablehlo(wrapper, length: int) -> bytes:
     from jax import export as jexport
 
     if isinstance(wrapper, PQMFPitchShiftWrapper):
+        # same serialization contract as the TA branch below: the export
+        # is B=1, so the auto crossover never picks the dense lowering
+        # (_DENSE_MIN_B > 1) — but the resample_override knob can force
+        # it, and pitchshift_fn's dense constant (a concrete array under
+        # ensure_compile_time_eval) would bake the ~55 MB matrix into the
+        # StableHLO blob. Fail loudly instead.
+        Tb_fl = length // wrapper.n_band
+        _, FO_max_fl, A_fl = wrapper._plan(Tb_fl)
+        kind_fl = wrapper._resample_kind(
+            Tb_fl, A_fl, 1,
+            total=wrapper.n_fft + (FO_max_fl - 1) * wrapper.hop)
+        if kind_fl == "dense":
+            raise ValueError(
+                "B=1 export cannot take the dense lowering (it would "
+                "serialize the prefolded ~55 MB constant into the "
+                "artifact); clear resample_override before exporting")
+
         def step(prev_tail, x):
             state, y = wrapper.pitchshift_fn({"prev_tail": prev_tail}, x)
             return state["prev_tail"], y

@@ -826,8 +826,12 @@ def stream_ola(wrapper, x, block: int, overlap: int | None = None):
     # must invalidate it rather than silently serve the old audio
     ver = getattr(wrapper.pqmf, "weights_version", 0)
     # keyed by T (not n_frames): the pad/trim live inside the program,
-    # so the input length is part of the compiled shape
-    key = (block, hop, T, C, ver)
+    # so the input length is part of the compiled shape. The pinned
+    # resample lowering is part of the key too — it is a trace-time
+    # decision baked into the program, and the knob exists FOR timing
+    # A/Bs, so a stale program under a changed override would silently
+    # time the wrong lowering (review r5)
+    key = (block, hop, T, C, ver, wrapper.resample_override)
     run = fns.get(key)
     if run is None:
         # weights_version only advances, so programs traced under older

@@ -51,9 +51,21 @@ def aligned_roundtrip_snr_db(x, y, delay: int, edge_trim: int = 0) -> float:
 
     ``edge_trim=0`` is the whole-signal definition; ``edge_trim=len(hk)``
     (one bank length) is the steady-state definition — see the module
-    docstring for when each applies."""
+    docstring for when each applies.
+
+    ``x`` and ``y`` may differ in length by at most ``delay`` samples
+    (a path may emit its constant latency as extra tail samples or trim
+    it, both legitimate); a larger mismatch means the PATH dropped or
+    grew samples — a bug this metric must surface, not silently
+    truncate into a plausible-looking SNR (review r5; the inline code
+    this replaced crashed on broadcast instead)."""
     x = np.asarray(x, np.float64).ravel()
     y = np.asarray(y, np.float64).ravel()
+    if abs(x.shape[-1] - y.shape[-1]) > delay:
+        raise ValueError(
+            f"length mismatch: x has {x.shape[-1]} samples, y has "
+            f"{y.shape[-1]} (> delay={delay} apart) — the path under "
+            "test dropped or grew samples beyond its declared latency")
     ya = y[delay:]
     xa = x[: x.shape[-1] - delay] if delay else x
     n = min(len(xa), len(ya))

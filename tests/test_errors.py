@@ -260,3 +260,22 @@ def test_resample_override_unavailable_raises_clearly():
     assert w._resample_kind(Tb, A, 16) == "onehot"
     assert w._resample_kind(Tb, A, 16, total=4 * Tb) == "onehot"
     w.resample_override = None
+
+
+def test_flagship_export_rejects_dense_override():
+    """export_stablehlo on the flagship must refuse the dense resample
+    lowering (r5 review): the export is B=1, where the auto crossover
+    never picks dense, but resample_override='dense' would bake the
+    prefolded multi-MB constant into the StableHLO blob — the same
+    fail-loudly contract the TA branch already enforces."""
+    import pytest
+
+    from pqmf_tpu.export import export_stablehlo
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper
+
+    w = PQMFPitchShiftWrapper(70, 4, 512, shifts_in_semitones=[1, -1, 2, -2])
+    w.resample_override = "dense"
+    with pytest.raises(ValueError, match="dense"):
+        export_stablehlo(w, 512)
+    w.resample_override = None
+    assert len(export_stablehlo(w, 512)) > 0

@@ -72,3 +72,12 @@ def test_training_snr_routes_through_metrics():
     want = aligned_roundtrip_snr_db(x[0], y[0, 0], sp.centered_delay,
                                     edge_trim=int(sp.params["hk"].shape[-1]))
     assert abs(got - want) < 1e-9
+
+
+def test_length_mismatch_raises():
+    """Round-trip paths are length-preserving; a shorter/longer output
+    means the path dropped or grew samples — the metric must surface
+    that, not truncate to the overlap and report a plausible SNR
+    (r5 review: the inline code this replaced crashed on broadcast)."""
+    with pytest.raises(ValueError, match="length mismatch"):
+        aligned_roundtrip_snr_db(np.zeros(64), np.zeros(63), 0)

@@ -516,6 +516,34 @@ def test_stream_ola_program_is_cached_no_retrace():
     assert not np.allclose(np.asarray(p3), np.asarray(p1))
 
 
+def test_stream_ola_cache_keys_on_resample_override():
+    """The pinned resample lowering is a trace-time decision baked into
+    the compiled program, and the knob exists FOR timing A/Bs — a stale
+    program under a changed override would silently time the wrong
+    lowering (r5 review). Pins: changing the override compiles a new
+    program; audio is unchanged (the knob's 'moves time, never audio'
+    contract)."""
+    from pqmf_tpu.pipelines import PQMFPitchShiftWrapper, stream_ola
+
+    rng = np.random.default_rng(9)
+    w = PQMFPitchShiftWrapper(70, 4, 512,
+                              shifts_in_semitones=[1, -1, 3, -3])
+    x = rng.standard_normal((1, 1500)).astype(np.float32) * 0.1
+
+    p1, r1 = stream_ola(w, x, 512)
+    assert len(w._stream_ola_fns) == 1
+    w.resample_override = "gather"
+    try:
+        p2, r2 = stream_ola(w, x, 512)
+    finally:
+        w.resample_override = None
+    assert len(w._stream_ola_fns) == 2
+    assert {k[-1] for k in w._stream_ola_fns} == {None, "gather"}
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
+
+
 def test_stream_ola_cache_does_not_pin_the_wrapper():
     """The compiled-program cache lives ON the wrapper (the program
     closures reference the wrapper, so any module-global cache — even a

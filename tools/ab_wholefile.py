@@ -70,9 +70,14 @@ def main():
         return step
 
     results = {k: [] for k in ("gather", "chunked")}
+    # ONE closure per arm, hoisted out of the rep loop: a fresh closure
+    # per measurement would miss jit's trace cache and re-trace + rebuild
+    # the n and 2n whole-file chain programs every rep (the same
+    # fresh-closure-identity defect the r5 stream_ola fix removed)
+    steps = {k: step_for(k) for k in results}
     for rep in range(args.reps):
         for kind in results:
-            ms = chained_ms(step_for(kind), x, n=args.chain, repeats=2)
+            ms = chained_ms(steps[kind], x, n=args.chain, repeats=2)
             results[kind].append(ms)
             rtf = (args.T / SR) / (ms * 1e-3) if ms == ms else float("nan")
             print(f"  rep{rep} {kind:8s} {ms:9.3f} ms/call  ({rtf:,.0f}x RT)")
