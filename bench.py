@@ -409,11 +409,18 @@ def main():
                      ("serving_16stream_aggregate", bench_streams),
                      ("serving_16stream_fast", lambda:
                       bench_streams(precision="default")),
-                     # peak serving scale: 64 concurrent streams (the
-                     # README's batching mitigation at its measured upper
-                     # end), fewer blocks to bound bench wall time
+                     # serving scale: 64 concurrent streams (the
+                     # README's batching mitigation), fewer blocks to
+                     # bound bench wall time
                      ("serving_64stream_aggregate", lambda:
                       bench_streams(n_streams=64, n_blocks=128)),
+                     # measured chip saturation point: aggregate peaks
+                     # ~13-14k x around S=128 (tools/serving_scaling.py,
+                     # r5); n_blocks bounds the input upload through the
+                     # tunnel (~128 MB for the doubled scan) and keeps
+                     # the differencing window >= ~50 ms at ~1.7 ms/step
+                     ("serving_128stream_aggregate", lambda:
+                      bench_streams(n_streams=128, n_blocks=32)),
                      # offline whole-file calls (r5: the chunked
                      # scan-of-matmuls resample — 2.15x over the r3/r4
                      # gather form, tools/ab_wholefile.py)
